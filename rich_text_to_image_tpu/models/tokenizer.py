@@ -192,6 +192,7 @@ class CLIPTokenizer:
         text = "".join(
             t for t in tokens if t not in (self.bos_token, self.eos_token)
         )
-        text = text.replace("</w>", " ")
         data = bytearray(self.byte_decoder[c] for c in text if c in self.byte_decoder)
-        return data.decode("utf-8", errors="replace").strip()
+        return (
+            data.decode("utf-8", errors="replace").replace("</w>", " ").strip()
+        )
