@@ -1,0 +1,248 @@
+"""Attention ops: Pallas flash self-attention + fused cross-attention.
+
+The reference forgoes every fast-attention path because its processors must
+return materialized probabilities for hook capture
+(models/attention_processor.py:1157-1162 — even the SDPA processor computes
+explicit probs). Here capture is a *typed side output* requested per layer,
+so each call picks the right implementation:
+
+  * ``flash_attention`` — Pallas kernel for self-attention over latent
+    tokens (seq 1024-4096). KV for one (batch, head) fits VMEM at these
+    lengths, so the kernel streams Q tiles against fully-resident K/V and
+    materializes scores only in VMEM ("lazy flash": the [S,S] probs never
+    touch HBM, which is what makes it bandwidth-optimal vs the XLA einsum
+    path). Also the injection path: the rich pass's self-attention
+    injection is ``flash_attention(q_ref, k_ref, v_region)`` — the
+    reference's stored-probs rewrite (region_diffusion.py:356-375) without
+    ever storing probs.
+  * ``attention_with_probs`` — XLA path returning (out, probs) for the few
+    registry layers whose head-averaged maps the token-mapper consumes
+    (utils/attention_utils.py:12-67). Only used at small seq (≤1024).
+  * ``cross_attention`` — XLA path for text KV (77 tokens): probs are
+    [H, S, 77] (negligible), so a fused einsum+softmax is already
+    speed-of-light; supports the font-size reweighting
+    (attention_processor.py:386-399) as a log-space bias + sign mask, and
+    an optional probs output.
+
+All functions take [B, H, S, D] and return [B, H, S, D].
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+
+
+# =============================================================== flash kernel
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, blk_k: int):
+    """One (batch*head, q-tile): online-softmax over K tiles.
+
+    K/V blocks are VMEM-resident for the whole row; scores live only in
+    registers/VMEM. Accumulation in fp32.
+    """
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    blk_q, d = q.shape
+    skv = k_ref.shape[1]
+    num_k = skv // blk_k
+
+    acc = jnp.zeros((blk_q, d), dtype=jnp.float32)
+    m = jnp.full((blk_q, 1), _NEG_INF, dtype=jnp.float32)
+    l = jnp.zeros((blk_q, 1), dtype=jnp.float32)
+
+    def body(j, carry):
+        acc, m, l = carry
+        k_blk = k_ref[0, pl.ds(j * blk_k, blk_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(j * blk_k, blk_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q,
+            k_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, BK)
+        if kv_len % blk_k != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * blk_k
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p,
+            v_blk,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc_new, m_new, l_new
+
+    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc, m, l))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _pad_last(x, to: int):
+    d = x.shape[-1]
+    if d == to:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, to - d)]
+    return jnp.pad(x, pad)
+
+
+def _pad_axis(x, axis: int, to: int):
+    s = x.shape[axis]
+    if s == to:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, to - s)
+    return jnp.pad(x, pad)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas flash attention. q: [B,H,Sq,D]; k,v: [B,H,Skv,D].
+
+    Sq/Skv need not be tile-aligned (padded internally; padded KV columns are
+    masked out). D is zero-padded to a lane multiple (zero K-pad adds 0 to
+    logits, zero V-pad yields sliced-away output columns).
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+
+    dp = _round_up(d, 128)
+    blk_q = min(block_q, _round_up(sq, 8))
+    sq_p = _round_up(sq, blk_q)
+    blk_k = min(block_k, _round_up(skv, 128))
+    skv_p = _round_up(skv, blk_k)
+
+    qp = _pad_axis(_pad_last(q * jnp.asarray(scale, q.dtype), dp), 2, sq_p)
+    kp = _pad_axis(_pad_last(k, dp), 2, skv_p)
+    vp = _pad_axis(_pad_last(v, dp), 2, skv_p)
+
+    qp = qp.reshape(b * h, sq_p, dp)
+    kp = kp.reshape(b * h, skv_p, dp)
+    vp = vp.reshape(b * h, skv_p, dp)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, kv_len=skv, blk_k=blk_k),
+        grid=(b * h, sq_p // blk_q),
+        in_specs=[
+            pl.BlockSpec(
+                (1, blk_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, skv_p, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, skv_p, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * skv * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
+            transcendentals=b * h * sq * skv,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+    return out.reshape(b, h, sq_p, dp)[:, :, :sq, :d]
+
+
+# ================================================================= XLA paths
+def attention_with_probs(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Explicit attention returning (out, probs). For capture layers only.
+
+    probs: [B, H, Sq, Skv] float32 post-softmax (upcast like the reference's
+    upcast_softmax path).
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
+    return out, p
+
+
+def cross_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    token_weights: jnp.ndarray | None = None,
+    token_signs: jnp.ndarray | None = None,
+    return_probs: bool = False,
+):
+    """Text cross-attention (Skv = 77) with optional font-size reweighting.
+
+    ``token_weights``/``token_signs`` are dense (Skv,) vectors (1.0 where no
+    reweighting): probs = softmax(s + log w) * sign — algebraically equal to
+    the reference's exp-scale + renormalize + sign re-application
+    (attention_processor.py:386-399). Negative signs yield *negative*
+    attention (the strike-through repulsion semantics).
+
+    Returns out or (out, probs[f32]) — probs have the sign applied, matching
+    what the reference's hooks would see.
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if token_weights is not None:
+        s = s + jnp.log(token_weights)[None, None, None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    if token_signs is not None:
+        p = p * token_signs[None, None, None, :]
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
+    if return_probs:
+        return out, p
+    return out
+
+
+def make_token_weight_vectors(
+    word_pos, font_size, seq_len: int = 77
+) -> tuple[jnp.ndarray, jnp.ndarray] | tuple[None, None]:
+    """Dense (|w|, sign) vectors from sparse (word_pos, font_size) spec.
+
+    Host-side helper mirroring utils/richtext_utils.py:188-209 output.
+    """
+    if word_pos is None or font_size is None or len(word_pos) == 0:
+        return None, None
+    import numpy as np
+
+    w = np.ones(seq_len, dtype=np.float32)
+    s = np.ones(seq_len, dtype=np.float32)
+    w[np.asarray(word_pos)] = np.abs(np.asarray(font_size))
+    s[np.asarray(word_pos)] = np.sign(np.asarray(font_size))
+    return jnp.asarray(w), jnp.asarray(s)
