@@ -1,0 +1,580 @@
+"""UNet2DCondition in flax — TPU-native re-design of the reference's forked
+diffusers UNet (models/unet_2d_condition.py, models/attention_processor.py,
+models/resnet.py).
+
+The reference achieves attention capture / injection / reweighting by
+PyTorch forward hooks mutating a module tree. Here the same capabilities are
+*functional*:
+
+  * ``capture`` (static :class:`CaptureSpec`) decides which layers emit
+    head-averaged attention probabilities, (Q, K) pairs, or resnet hidden
+    features into the ``aux`` dict returned alongside eps.
+  * ``controls`` (:class:`UNetControls` pytree) carries injected (Q, K) per
+    self-attention layer, injected resnet features, the traced
+    ``inject_gate`` (the reference's per-step ``feat_inject_step``,
+    region_diffusion.py:104), and font-size token weight vectors
+    (attention_processor.py:386-399).
+
+Layers are *named* with the reference's registry strings (e.g.
+``down_blocks.1.attentions.0.transformer_blocks.0.attn1``) so capture sets
+and injection dicts key off the exact names in
+utils/attention_utils.py:12-67.
+
+Layout: NHWC activations / HWIO conv kernels (TPU-native). Self-attention
+runs the Pallas flash kernel except on capture layers (which need probs and
+are small); cross-attention (77 KV tokens) is the fused XLA path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import (
+    attention_with_probs,
+    cross_attention,
+    flash_attention,
+)
+from .config import UNetConfig
+
+
+# ------------------------------------------------------------------ controls
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class UNetControls:
+    """Traced control inputs (all optional; None = off)."""
+
+    token_weights: Optional[jnp.ndarray] = None  # (77,) or (B,77) |font size|
+    token_signs: Optional[jnp.ndarray] = None
+    inject_gate: Optional[jnp.ndarray] = None  # scalar bool
+    inject_qk: Optional[dict[str, tuple[jnp.ndarray, jnp.ndarray]]] = None
+    inject_resnet: Optional[dict[str, jnp.ndarray]] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class CaptureSpec:
+    """Static capture requests (pytree-stable across scan steps)."""
+
+    self_probs: frozenset = frozenset()  # attn1 names → head-avg probs
+    cross_probs: frozenset = frozenset()  # attn2 names → head-avg probs
+    qk: bool = False  # all attn1 (q, k) + resnet features
+    resnet: frozenset = frozenset()  # resnet names → hidden feature
+
+
+EMPTY_CAPTURE = CaptureSpec()
+# The resnet whose pre-residual feature the reference injects
+# (region_diffusion.py:349, asserted 16² for SD / 64² for SDXL).
+INJECT_RESNET_NAME = "up_blocks.1.resnets.1"
+
+
+def _use_flash(seq: int) -> bool:
+    # below ~512 tokens the fused XLA path beats kernel launch overhead
+    return seq >= 512
+
+
+# ------------------------------------------------------------------- helpers
+def timestep_embedding(
+    t: jnp.ndarray, dim: int, flip_sin_to_cos: bool = True, freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal embedding, diffusers ``get_timestep_embedding`` parity."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    freqs = jnp.exp(exponent)
+    args = t.astype(jnp.float32)[..., None] * freqs[None]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[..., half:], emb[..., :half]], axis=-1)
+    return emb
+
+
+def _groupnorm(groups, dtype, name, eps=1e-5):
+    return nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=dtype, name=name)
+
+
+def _conv(features, kernel=3, stride=1, pad=1, dtype=jnp.float32, name=None):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        dtype=dtype,
+        name=name,
+    )
+
+
+class TimestepEmbedding(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+
+
+# -------------------------------------------------------------------- resnet
+class ResnetBlock(nn.Module):
+    """GN-SiLU-Conv ×2 + time projection; returns (out, hidden).
+
+    ``hidden`` is the pre-residual branch the reference exposes for feature
+    injection (models/resnet.py:590-645); when this layer's name appears in
+    ``controls.inject_resnet`` the branch is replaced under ``inject_gate``.
+    """
+
+    out_channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    layer_name: str = ""
+
+    @nn.compact
+    def __call__(self, x, temb, controls: UNetControls | None = None):
+        in_ch = x.shape[-1]
+        h = _groupnorm(self.groups, self.dtype, "norm1")(x)
+        h = nn.silu(h)
+        h = _conv(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+            nn.silu(temb)
+        )
+        h = h + t[:, None, None, :]
+        h = _groupnorm(self.groups, self.dtype, "norm2")(h)
+        h = nn.silu(h)
+        h = _conv(self.out_channels, dtype=self.dtype, name="conv2")(h)
+
+        if (
+            controls is not None
+            and controls.inject_resnet is not None
+            and self.layer_name in controls.inject_resnet
+        ):
+            injected = controls.inject_resnet[self.layer_name].astype(h.dtype)
+            gate = controls.inject_gate
+            if gate is None:
+                h_out = injected
+            else:
+                h_out = jnp.where(gate, injected, h)
+        else:
+            h_out = h
+
+        if in_ch != self.out_channels:
+            x = _conv(
+                self.out_channels, kernel=1, pad=0, dtype=self.dtype,
+                name="conv_shortcut",
+            )(x)
+        return x + h_out, h
+
+
+# ----------------------------------------------------------------- attention
+class Attention(nn.Module):
+    """Self- or cross-attention with functional capture/inject dispatch."""
+
+    heads: int
+    dim: int  # query dim (= channels)
+    kv_dim: int | None = None  # cross-attention key/value dim
+    dtype: jnp.dtype = jnp.float32
+    layer_name: str = ""
+
+    @nn.compact
+    def __call__(
+        self,
+        x,  # [B, S, C]
+        context=None,  # [B, 77, kv_dim] for cross-attn
+        controls: UNetControls | None = None,
+        capture: CaptureSpec = EMPTY_CAPTURE,
+        aux: dict | None = None,
+    ):
+        is_cross = context is not None
+        ctx = context if is_cross else x
+        B, S, C = x.shape
+        hd = self.dim // self.heads
+        scale = hd**-0.5
+
+        q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        def split(t):
+            return t.reshape(B, -1, self.heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+
+        name = self.layer_name
+        if is_cross:
+            want_probs = name in capture.cross_probs
+            tw = controls.token_weights if controls is not None else None
+            ts = controls.token_signs if controls is not None else None
+            if tw is not None and tw.ndim == 1:
+                tw, ts = tw[None], ts[None]
+            if tw is not None:
+                # per-batch-row weights enter as log-bias [B,1,1,77]
+                s = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+                ) * scale
+                s = s + jnp.log(tw)[:, None, None, :]
+                p = jax.nn.softmax(s, axis=-1)
+                p = p * ts[:, None, None, :]
+                o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
+                probs = p
+            elif want_probs:
+                o, probs = attention_with_probs(q, k, v, scale)
+            else:
+                o = cross_attention(q, k, v, scale)
+                probs = None
+            if want_probs and aux is not None:
+                # head-average, reference parity (attention_processor.py:541-545
+                # via reshape_batch_dim_to_heads_and_average)
+                aux.setdefault("cross_probs", {})[name] = jnp.mean(probs, axis=1)
+        else:
+            # ----- self-attention
+            inj = (
+                controls.inject_qk.get(name)
+                if controls is not None and controls.inject_qk is not None
+                else None
+            )
+            if inj is not None:
+                qi, ki = inj
+                gate = controls.inject_gate
+                if gate is not None:
+                    # broadcast the single reference row over the region batch
+                    q_used = jnp.where(gate, qi.astype(q.dtype), q)
+                    k_used = jnp.where(gate, ki.astype(k.dtype), k)
+                else:
+                    q_used, k_used = qi.astype(q.dtype), ki.astype(k.dtype)
+            else:
+                q_used, k_used = q, k
+
+            want_probs = name in capture.self_probs
+            if want_probs:
+                o, probs = attention_with_probs(q_used, k_used, v, scale)
+                if aux is not None:
+                    aux.setdefault("self_probs", {})[name] = jnp.mean(probs, axis=1)
+            elif _use_flash(S) and self.dtype != jnp.float64:
+                o = flash_attention(q_used, k_used, v, scale)
+            else:
+                o = cross_attention(q_used, k_used, v, scale)
+            if capture.qk and aux is not None:
+                aux.setdefault("self_qk", {})[name] = (q, k)
+
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, self.dim)
+        return nn.Dense(self.dim, dtype=self.dtype, name="to_out")(o)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * 4
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="geglu")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    kv_dim: int
+    dtype: jnp.dtype = jnp.float32
+    layer_name: str = ""  # "...transformer_blocks.{i}"
+
+    @nn.compact
+    def __call__(self, x, context, controls, capture, aux):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(
+            self.heads, self.dim, dtype=self.dtype, name="attn1",
+            layer_name=f"{self.layer_name}.attn1",
+        )(h, None, controls, capture, aux)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(
+            self.heads, self.dim, kv_dim=self.kv_dim, dtype=self.dtype,
+            name="attn2", layer_name=f"{self.layer_name}.attn2",
+        )(h, context, controls, capture, aux)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    heads: int
+    dim: int
+    depth: int
+    kv_dim: int
+    use_linear_projection: bool
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    layer_name: str = ""  # "...attentions.{i}"
+
+    @nn.compact
+    def __call__(self, x, context, controls, capture, aux):
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype,
+                         name="norm")(x)
+        if self.use_linear_projection:
+            h = h.reshape(B, H * W, C)
+            h = nn.Dense(self.dim, dtype=self.dtype, name="proj_in")(h)
+        else:
+            h = _conv(self.dim, kernel=1, pad=0, dtype=self.dtype,
+                      name="proj_in")(h)
+            h = h.reshape(B, H * W, self.dim)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                self.dim, self.heads, self.kv_dim, dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+                layer_name=f"{self.layer_name}.transformer_blocks.{i}",
+            )(h, context, controls, capture, aux)
+        if self.use_linear_projection:
+            h = nn.Dense(C, dtype=self.dtype, name="proj_out")(h)
+            h = h.reshape(B, H, W, C)
+        else:
+            h = h.reshape(B, H, W, self.dim)
+            h = _conv(C, kernel=1, pad=0, dtype=self.dtype, name="proj_out")(h)
+        return h + residual
+
+
+# -------------------------------------------------------------------- blocks
+class CrossAttnDownBlock(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    heads: int
+    depth: int
+    add_downsample: bool
+    dtype: jnp.dtype = jnp.float32
+    layer_name: str = ""
+
+    @nn.compact
+    def __call__(self, x, temb, context, controls, capture, aux):
+        skips = []
+        for i in range(self.cfg.layers_per_block):
+            x, _ = ResnetBlock(
+                self.out_channels, self.cfg.norm_num_groups, self.dtype,
+                name=f"resnets_{i}", layer_name=f"{self.layer_name}.resnets.{i}",
+            )(x, temb, controls)
+            x = Transformer2D(
+                self.heads, self.out_channels, self.depth,
+                self.cfg.cross_attention_dim, self.cfg.use_linear_projection,
+                self.cfg.norm_num_groups, self.dtype,
+                name=f"attentions_{i}",
+                layer_name=f"{self.layer_name}.attentions.{i}",
+            )(x, context, controls, capture, aux)
+            skips.append(x)
+        if self.add_downsample:
+            x = _conv(self.out_channels, stride=2, dtype=self.dtype,
+                      name="downsample")(x)
+            skips.append(x)
+        return x, skips
+
+
+class DownBlock(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    add_downsample: bool
+    dtype: jnp.dtype = jnp.float32
+    layer_name: str = ""
+
+    @nn.compact
+    def __call__(self, x, temb, controls):
+        skips = []
+        for i in range(self.cfg.layers_per_block):
+            x, _ = ResnetBlock(
+                self.out_channels, self.cfg.norm_num_groups, self.dtype,
+                name=f"resnets_{i}", layer_name=f"{self.layer_name}.resnets.{i}",
+            )(x, temb, controls)
+            skips.append(x)
+        if self.add_downsample:
+            x = _conv(self.out_channels, stride=2, dtype=self.dtype,
+                      name="downsample")(x)
+            skips.append(x)
+        return x, skips
+
+
+class CrossAttnUpBlock(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    heads: int
+    depth: int
+    add_upsample: bool
+    dtype: jnp.dtype = jnp.float32
+    layer_name: str = ""
+
+    @nn.compact
+    def __call__(self, x, skips, temb, context, controls, capture, aux):
+        for i in range(self.cfg.layers_per_block + 1):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            rname = f"{self.layer_name}.resnets.{i}"
+            x, hidden = ResnetBlock(
+                self.out_channels, self.cfg.norm_num_groups, self.dtype,
+                name=f"resnets_{i}", layer_name=rname,
+            )(x, temb, controls)
+            if rname in capture.resnet and aux is not None:
+                aux.setdefault("resnet_hidden", {})[rname] = hidden
+            x = Transformer2D(
+                self.heads, self.out_channels, self.depth,
+                self.cfg.cross_attention_dim, self.cfg.use_linear_projection,
+                self.cfg.norm_num_groups, self.dtype,
+                name=f"attentions_{i}",
+                layer_name=f"{self.layer_name}.attentions.{i}",
+            )(x, context, controls, capture, aux)
+        if self.add_upsample:
+            B, H, W, C = x.shape
+            x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+            x = _conv(self.out_channels, dtype=self.dtype, name="upsample")(x)
+        return x
+
+
+class UpBlock(nn.Module):
+    cfg: UNetConfig
+    out_channels: int
+    add_upsample: bool
+    dtype: jnp.dtype = jnp.float32
+    layer_name: str = ""
+
+    @nn.compact
+    def __call__(self, x, skips, temb, controls, capture, aux):
+        for i in range(self.cfg.layers_per_block + 1):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            rname = f"{self.layer_name}.resnets.{i}"
+            x, hidden = ResnetBlock(
+                self.out_channels, self.cfg.norm_num_groups, self.dtype,
+                name=f"resnets_{i}", layer_name=rname,
+            )(x, temb, controls)
+            if rname in capture.resnet and aux is not None:
+                aux.setdefault("resnet_hidden", {})[rname] = hidden
+        if self.add_upsample:
+            B, H, W, C = x.shape
+            x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+            x = _conv(self.out_channels, dtype=self.dtype, name="upsample")(x)
+        return x
+
+
+class MidBlock(nn.Module):
+    cfg: UNetConfig
+    channels: int
+    heads: int
+    depth: int
+    dtype: jnp.dtype = jnp.float32
+    layer_name: str = "mid_block"
+
+    @nn.compact
+    def __call__(self, x, temb, context, controls, capture, aux):
+        x, _ = ResnetBlock(
+            self.channels, self.cfg.norm_num_groups, self.dtype,
+            name="resnets_0", layer_name=f"{self.layer_name}.resnets.0",
+        )(x, temb, controls)
+        x = Transformer2D(
+            self.heads, self.channels, self.depth,
+            self.cfg.cross_attention_dim, self.cfg.use_linear_projection,
+            self.cfg.norm_num_groups, self.dtype,
+            name="attentions_0", layer_name=f"{self.layer_name}.attentions.0",
+        )(x, context, controls, capture, aux)
+        x, _ = ResnetBlock(
+            self.channels, self.cfg.norm_num_groups, self.dtype,
+            name="resnets_1", layer_name=f"{self.layer_name}.resnets.1",
+        )(x, temb, controls)
+        return x
+
+
+# ---------------------------------------------------------------------- UNet
+class UNet2DCondition(nn.Module):
+    cfg: UNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample,  # [B, H, W, C] (NHWC)
+        timesteps,  # scalar or [B]
+        encoder_hidden_states,  # [B, 77, kv_dim]
+        added_cond: dict | None = None,  # SDXL: {"text_embeds", "time_ids"}
+        controls: UNetControls | None = None,
+        capture: CaptureSpec = EMPTY_CAPTURE,
+    ):
+        cfg = self.cfg
+        aux: dict = {}
+        B = sample.shape[0]
+        if jnp.ndim(timesteps) == 0:
+            timesteps = jnp.broadcast_to(timesteps, (B,))
+
+        # ---- time + added embeddings
+        t_emb = timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos,
+            cfg.freq_shift,
+        ).astype(self.dtype)
+        emb = TimestepEmbedding(cfg.time_embed_dim, self.dtype,
+                                name="time_embedding")(t_emb)
+        if cfg.addition_embed_type == "text_time":
+            time_ids = added_cond["time_ids"]  # [B, 6]
+            te = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim,
+                cfg.flip_sin_to_cos, cfg.freq_shift,
+            ).reshape(B, -1)
+            add_emb = jnp.concatenate(
+                [added_cond["text_embeds"], te.astype(self.dtype)], axis=-1
+            )
+            emb = emb + TimestepEmbedding(
+                cfg.time_embed_dim, self.dtype, name="add_embedding"
+            )(add_emb.astype(self.dtype))
+
+        context = encoder_hidden_states.astype(self.dtype)
+        x = _conv(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(
+            sample.astype(self.dtype)
+        )
+
+        # ---- down
+        skips = [x]
+        heads = cfg.heads_per_level
+        for lvl, btype in enumerate(cfg.down_block_types):
+            ch = cfg.block_out_channels[lvl]
+            last = lvl == len(cfg.down_block_types) - 1
+            lname = f"down_blocks.{lvl}"
+            if btype == "CrossAttnDownBlock2D":
+                x, s = CrossAttnDownBlock(
+                    cfg, ch, heads[lvl], cfg.transformer_layers_per_block[lvl],
+                    not last, self.dtype, name=f"down_blocks_{lvl}",
+                    layer_name=lname,
+                )(x, emb, context, controls, capture, aux)
+            else:
+                x, s = DownBlock(
+                    cfg, ch, not last, self.dtype, name=f"down_blocks_{lvl}",
+                    layer_name=lname,
+                )(x, emb, controls)
+            skips += s
+
+        # ---- mid
+        x = MidBlock(
+            cfg, cfg.block_out_channels[-1], heads[-1],
+            cfg.transformer_layers_per_block[-1], self.dtype, name="mid_block",
+        )(x, emb, context, controls, capture, aux)
+
+        # ---- up
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_heads = list(reversed(heads))
+        rev_depth = list(reversed(cfg.transformer_layers_per_block))
+        for lvl, btype in enumerate(cfg.up_block_types):
+            ch = rev_channels[lvl]
+            last = lvl == len(cfg.up_block_types) - 1
+            lname = f"up_blocks.{lvl}"
+            if btype == "CrossAttnUpBlock2D":
+                x = CrossAttnUpBlock(
+                    cfg, ch, rev_heads[lvl], rev_depth[lvl], not last,
+                    self.dtype, name=f"up_blocks_{lvl}", layer_name=lname,
+                )(x, skips, emb, context, controls, capture, aux)
+            else:
+                x = UpBlock(
+                    cfg, ch, not last, self.dtype, name=f"up_blocks_{lvl}",
+                    layer_name=lname,
+                )(x, skips, emb, controls, capture, aux)
+
+        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                         dtype=self.dtype, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = _conv(cfg.out_channels, dtype=self.dtype, name="conv_out")(x)
+        return x, aux
