@@ -22,7 +22,7 @@ from .config import CLIPTextConfig
 
 _ACTS = {
     "quick_gelu": lambda x: x * nn.sigmoid(1.702 * x),
-    "gelu": nn.gelu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),  # HF "gelu" = exact erf
 }
 
 
