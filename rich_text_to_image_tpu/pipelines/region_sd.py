@@ -1,0 +1,656 @@
+"""RegionDiffusion — the SD-1.5 rich-text pipeline, TPU-native.
+
+Re-designs models/region_diffusion.py (reference) as three jit-compiled
+programs:
+
+  * ``plain pass`` — one ``lax.scan`` over PNDM steps of the CFG-batched
+    UNet, with token-map attention capture folded into the scan carry as
+    per-resolution *aggregates* (see utils/token_maps.py) instead of the
+    reference's per-step hook→CPU copies (region_diffusion.py:397-443).
+  * ``rich pass`` — one scan where the reference's sequential
+    ``2+N`` UNet calls per step (region_diffusion.py:106-128) become one
+    batched forward [uncond, span_1..R, base] (two when self-attention
+    injection runs a reference trajectory), noise compositing under the
+    token masks, optional (Q,K) self-attention + resnet feature injection,
+    background latent injection, and gradient color guidance via
+    ``jax.grad`` through a checkpointed VAE decode
+    (region_diffusion.py:151-168).
+  * text/vae utility programs (encode prompts, decode latents).
+
+API mirrors the reference class: ``produce_attn_maps`` / ``prompt_to_img`` /
+``masks`` / ``tokenizer``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import config as cfgs
+from ..models.clip import CLIPTextModel
+from ..models.tokenizer import CLIPTokenizer
+from ..models.unet import CaptureSpec, UNet2DCondition, UNetControls
+from ..models.vae import AutoencoderKL
+from ..ops.attention import make_token_weight_vectors
+from ..schedulers import PNDMScheduler
+from ..utils.registries import (
+    CrossAttentionLayers,
+    SelfAttentionLayers,
+    attn_layer_resolutions,
+)
+from ..utils.token_maps import SEG_RESOLUTION, AttnAggregates
+
+
+@dataclasses.dataclass
+class RichControlSpec:
+    """Host-side rich-pass knobs (converted to per-step gate arrays)."""
+
+    guidance_scale: float = 7.5
+    inject_selfattn: float = 0.0
+    inject_background: float = 0.0
+    use_guidance: bool = False
+    guidance_start_step: int = 999
+    color_guidance_weight: float = 1.0
+
+
+class RegionDiffusion:
+    """SD-1.5 rich-text-to-image pipeline."""
+
+    def __init__(
+        self,
+        unet_params,
+        vae_params,
+        text_params,
+        tokenizer: CLIPTokenizer,
+        unet_cfg: cfgs.UNetConfig = cfgs.SD15_UNET,
+        vae_cfg: cfgs.VAEConfig = cfgs.SD15_VAE,
+        text_cfg: cfgs.CLIPTextConfig = cfgs.SD15_TEXT,
+        dtype=jnp.bfloat16,
+        agg_start_step: int = 10,  # reference: accumulate when n_maps > 10
+    ):
+        self.unet = UNet2DCondition(unet_cfg, dtype=dtype)
+        self.vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
+        self.text_encoder = CLIPTextModel(text_cfg, dtype=jnp.float32)
+        self.unet_params = unet_params
+        self.vae_params = vae_params
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+        self.unet_cfg = unet_cfg
+        self.vae_cfg = vae_cfg
+        self.scheduler = PNDMScheduler()
+        self.dtype = dtype
+        self.agg_start_step = agg_start_step
+        self.vae_scale_factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
+        self.masks: list[np.ndarray] = []  # [R+1] of [1,h,w] (parity attr)
+        self._jit_cache: dict[Any, Any] = {}
+
+    # ------------------------------------------------------------ factories
+    @classmethod
+    def from_pretrained(cls, checkpoint_dir: str, dtype=jnp.bfloat16):
+        """Load from a local SD-1.5 checkpoint directory (HF layout)."""
+        import os
+
+        from ..models.convert import (
+            convert_clip_text,
+            convert_unet,
+            convert_vae,
+            load_safetensors_dir,
+        )
+
+        tokenizer = CLIPTokenizer.from_pretrained(
+            os.path.join(checkpoint_dir, "tokenizer")
+        )
+        unet = UNet2DCondition(cfgs.SD15_UNET, dtype=dtype)
+        vae = AutoencoderKL(cfgs.SD15_VAE)
+        text = CLIPTextModel(cfgs.SD15_TEXT)
+        shapes = _init_shapes_sd(unet, vae, text)
+        unet_sd = load_safetensors_dir(os.path.join(checkpoint_dir, "unet"))
+        vae_sd = load_safetensors_dir(os.path.join(checkpoint_dir, "vae"))
+        text_sd = load_safetensors_dir(os.path.join(checkpoint_dir, "text_encoder"))
+        return cls(
+            {"params": convert_unet(unet_sd, cfgs.SD15_UNET, shapes[0]["params"],
+                                    dtype=dtype)},
+            {"params": convert_vae(vae_sd, cfgs.SD15_VAE, shapes[1]["params"])},
+            {"params": convert_clip_text(text_sd, cfgs.SD15_TEXT,
+                                         shapes[2]["params"])},
+            tokenizer,
+            dtype=dtype,
+        )
+
+    @classmethod
+    def random_init(
+        cls,
+        seed: int = 0,
+        unet_cfg: cfgs.UNetConfig = cfgs.SD15_UNET,
+        vae_cfg: cfgs.VAEConfig = cfgs.SD15_VAE,
+        text_cfg: cfgs.CLIPTextConfig = cfgs.SD15_TEXT,
+        tokenizer: CLIPTokenizer | None = None,
+        dtype=jnp.bfloat16,
+        **kw,
+    ):
+        """Random-weight pipeline (tests, benchmarks, weight-free smoke)."""
+        tokenizer = tokenizer or CLIPTokenizer.byte_level()
+        if tokenizer.encoder and len(tokenizer.encoder) > text_cfg.vocab_size:
+            text_cfg = dataclasses.replace(
+                text_cfg, vocab_size=len(tokenizer.encoder)
+            )
+        unet = UNet2DCondition(unet_cfg, dtype=dtype)
+        vae = AutoencoderKL(vae_cfg)
+        text = CLIPTextModel(text_cfg)
+        k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        latent = unet_cfg.sample_size
+        up = unet.init(
+            k0,
+            jnp.zeros((1, latent, latent, unet_cfg.in_channels)),
+            jnp.int32(0),
+            jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
+        )
+        px = latent * 2 ** (len(vae_cfg.block_out_channels) - 1)
+        vp = vae.init(k1, jnp.zeros((1, px, px, 3)))
+        tp = text.init(k2, jnp.zeros((1, 77), jnp.int32))
+        return cls(up, vp, tp, tokenizer, unet_cfg, vae_cfg, text_cfg,
+                   dtype=dtype, **kw)
+
+    # ----------------------------------------------------------------- text
+    def get_text_embeds(self, prompts, negative_prompts="") -> jnp.ndarray:
+        """[uncond, prompt_1..N] embeddings, reference layout
+        (region_diffusion.py:49-70)."""
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        if isinstance(negative_prompts, str):
+            negative_prompts = [negative_prompts]
+        ids = self.tokenizer(list(negative_prompts) + list(prompts))
+        embeds = self._text_apply(jnp.asarray(ids))
+        return embeds
+
+    @functools.cached_property
+    def _text_apply(self):
+        @jax.jit
+        def run(ids):
+            out = self.text_encoder.apply(self.text_params, ids)
+            return out["last_hidden_state"]
+
+        return run
+
+    # ------------------------------------------------------------ VAE utils
+    @functools.cached_property
+    def _decode(self):
+        @jax.jit
+        def run(latents):
+            imgs = self.vae.apply(
+                self.vae_params,
+                latents.astype(jnp.float32) / self.vae_cfg.scaling_factor,
+                method=self.vae.decode,
+            )
+            return jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+
+        return run
+
+    def decode_latents(self, latents) -> np.ndarray:
+        """latents [B,h,w,4] → uint8 images [B,H,W,3]."""
+        imgs = np.asarray(self._decode(latents))
+        return (imgs * 255).round().astype(np.uint8)
+
+    def encode_imgs(self, imgs, seed: int = 0) -> jnp.ndarray:
+        x = jnp.asarray(imgs, dtype=jnp.float32) * 2 - 1
+        return self.vae.apply(
+            self.vae_params, x, jax.random.PRNGKey(seed), method=self.vae.encode
+        )
+
+    # ------------------------------------------------------- capture layout
+    def _capture_layout(self, latent_hw):
+        res_map = attn_layer_resolutions(self.unet_cfg, latent_hw)
+        seg_res = min(SEG_RESOLUTION, latent_hw[0] // 2)
+        self_layers = tuple(
+            n for n in SelfAttentionLayers if res_map.get(n) == seg_res
+        )
+        cross_by_res: dict[int, tuple[str, ...]] = {}
+        for n in CrossAttentionLayers:
+            r = res_map.get(n)
+            if r is not None:
+                cross_by_res.setdefault(r, ())
+                cross_by_res[r] += (n,)
+        return seg_res, self_layers, cross_by_res
+
+    # ------------------------------------------------------------ plain pass
+    def produce_attn_maps(
+        self,
+        prompts,
+        negative_prompts="",
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        latents: Optional[jnp.ndarray] = None,
+        seed: int = 0,
+    ):
+        """Plain CFG pass; returns (images uint8, AttnAggregates).
+
+        Reference: region_diffusion.py:180-225 with tokenmap hooks active.
+        """
+        embeds = self.get_text_embeds(prompts, negative_prompts)
+        h, w = height // self.vae_scale_factor, width // self.vae_scale_factor
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed), (1, h, w, self.unet_cfg.in_channels)
+            )
+        plan = self.scheduler.plan(num_inference_steps)
+        seg_res, self_layers, cross_by_res = self._capture_layout((h, w))
+        fn = self._plain_fn((h, w), plan.num_steps, seg_res, self_layers,
+                            tuple(sorted(cross_by_res.items())))
+        lat, self_sum, cross_sums = fn(
+            self.unet_params, latents, embeds, _plan_arrays(plan),
+            jnp.float32(guidance_scale),
+        )
+        agg = AttnAggregates(
+            self_sum=np.asarray(self_sum),
+            self_count=len(self_layers),
+            cross_sums={r: np.asarray(v) for (r, _), v in
+                        zip(sorted(cross_by_res.items()), cross_sums)},
+            cross_layer_count=sum(len(v) for v in cross_by_res.values()),
+        )
+        self.attn_aggregates = agg  # parity-ish attribute (selfattn_maps etc.)
+        return self.decode_latents(lat), agg
+
+    def _plain_fn(self, latent_hw, num_steps, seg_res, self_layers, cross_items):
+        key = ("plain", latent_hw, num_steps, self_layers, cross_items)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        sched = self.scheduler
+        capture = CaptureSpec(
+            self_probs=frozenset(self_layers),
+            cross_probs=frozenset(n for _, ns in cross_items for n in ns),
+        )
+        agg_start = self.agg_start_step
+        unet = self.unet
+
+        @jax.jit
+        def run(params, latents, embeds, plan, g):
+            s2 = seg_res * seg_res
+            self_sum0 = jnp.zeros((s2, s2), jnp.float32)
+            cross0 = tuple(
+                jnp.zeros((r * r, 77), jnp.float32) for r, _ in cross_items
+            )
+            st0 = sched.init_state(latents.shape)
+
+            def body(carry, i):
+                lat, st, self_sum, cross = carry
+                t = plan.timesteps[i]
+                x = jnp.concatenate([lat, lat], axis=0)
+                eps, aux = unet.apply(
+                    params, x, t, embeds, capture=capture
+                )
+                # --- aggregate capture (cond row = 1)
+                # SD quirk parity: self maps overwrite each step (the
+                # reference's crossattn_maps-membership bug makes
+                # selfattn_maps hold only the last step's maps,
+                # region_diffusion.py:422-426).
+                new_self = sum(
+                    aux["self_probs"][n][1].astype(jnp.float32)
+                    for n in self_layers
+                ) if self_layers else self_sum
+                w = (i >= agg_start).astype(jnp.float32)
+                new_cross = tuple(
+                    c + w * sum(
+                        aux["cross_probs"][n][1].astype(jnp.float32) for n in ns
+                    )
+                    for c, (_, ns) in zip(cross, cross_items)
+                )
+                eps = eps.astype(jnp.float32)
+                e = eps[0:1] + g * (eps[1:2] - eps[0:1])
+                lat, st = sched.step(plan, i, st, e, lat)
+                return (lat, st, new_self, new_cross), None
+
+            (lat, _, self_sum, cross), _ = jax.lax.scan(
+                body, (latents, st0, self_sum0, cross0), jnp.arange(num_steps)
+            )
+            return lat, self_sum, cross
+
+        self._jit_cache[key] = run
+        return run
+
+    # ------------------------------------------------------------- rich pass
+    def prompt_to_img(
+        self,
+        prompts: Sequence[str],
+        negative_prompts="",
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        latents: Optional[jnp.ndarray] = None,
+        text_format_dict: Optional[dict] = None,
+        use_guidance: bool = False,
+        inject_selfattn: float = 0.0,
+        inject_background: float = 0.0,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Rich region-based sampling (reference region_diffusion.py:248-273).
+
+        ``prompts``: region prompts, base prompt last. ``self.masks`` must
+        hold len(prompts) masks (spans + background) from get_token_maps.
+        """
+        text_format_dict = dict(text_format_dict or {})
+        embeds = self.get_text_embeds(list(prompts), negative_prompts)
+        spec = RichControlSpec(
+            guidance_scale=guidance_scale,
+            inject_selfattn=inject_selfattn,
+            inject_background=inject_background,
+            use_guidance=use_guidance,
+            guidance_start_step=text_format_dict.get("guidance_start_step", 999),
+            color_guidance_weight=text_format_dict.get(
+                "color_guidance_weight", 1.0
+            ),
+        )
+        lat = self.produce_latents(
+            embeds,
+            height=height,
+            width=width,
+            num_inference_steps=num_inference_steps,
+            latents=latents,
+            spec=spec,
+            text_format_dict=text_format_dict,
+            seed=seed,
+        )
+        return self.decode_latents(lat)
+
+    def produce_latents(
+        self,
+        text_embeddings: jnp.ndarray,  # [R+2, 77, D]: uncond, spans..., base
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 50,
+        latents: Optional[jnp.ndarray] = None,
+        spec: RichControlSpec = RichControlSpec(),
+        text_format_dict: Optional[dict] = None,
+        seed: int = 0,
+    ) -> jnp.ndarray:
+        text_format_dict = dict(text_format_dict or {})
+        h, w = height // self.vae_scale_factor, width // self.vae_scale_factor
+        n_styles = text_embeddings.shape[0] - 1
+        assert n_styles == len(self.masks), (n_styles, len(self.masks))
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed), (1, h, w, self.unet_cfg.in_channels)
+            )
+
+        plan = self.scheduler.plan(num_inference_steps)
+        S = plan.num_steps
+        # per-step host gates (all static arrays; see region_diffusion.py:104-105)
+        inject_gates = plan.timesteps.astype(np.float64) > (
+            (1 - spec.inject_selfattn) * 1000
+        )
+        bg_step = int(spec.inject_background * S)
+        bg_gates = (np.arange(S) == bg_step) & (spec.inject_background > 0)
+        guidance_gates = (
+            plan.timesteps.astype(np.int64) < spec.guidance_start_step
+        ) & spec.use_guidance
+        alpha_raw = self.scheduler.alphas_cumprod[plan.timesteps].astype(
+            np.float32
+        )
+        run_reference = spec.inject_selfattn > 0 or spec.inject_background > 0
+
+        # token reweighting rows: base row only (reference registers the
+        # fontsize hooks around the base-prompt forward, :108-111)
+        tw, ts = make_token_weight_vectors(
+            text_format_dict.get("word_pos"), text_format_dict.get("font_size")
+        )
+        B = n_styles + 1
+        if tw is not None:
+            tw_rows = jnp.ones((B, 77), jnp.float32).at[B - 1].set(tw)
+            ts_rows = jnp.ones((B, 77), jnp.float32).at[B - 1].set(ts)
+        else:
+            tw_rows = ts_rows = None
+
+        masks = jnp.asarray(
+            np.stack([np.asarray(m).reshape(h, w) for m in self.masks])
+        )[..., None]  # [R+1, h, w, 1]
+
+        use_grad = bool(spec.use_guidance)
+        if use_grad:
+            color_masks_px = jnp.asarray(
+                np.stack(
+                    [np.asarray(m).reshape(height, width)
+                     for m in text_format_dict["color_obj_atten"]]
+                )
+            )  # [n_colors, H, W]
+            target_rgb = jnp.asarray(
+                np.stack([np.asarray(c).reshape(3)
+                          for c in text_format_dict["target_RGB"]])
+            )  # [n_colors, 3]
+            color_all = jnp.asarray(
+                np.asarray(text_format_dict["color_obj_atten_all"]).reshape(
+                    h, w
+                )
+            )[None, :, :, None]
+        else:
+            color_masks_px = jnp.zeros((1, height, width))
+            target_rgb = jnp.zeros((1, 3))
+            color_all = jnp.zeros((1, h, w, 1))
+
+        fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
+                           tw is not None)
+        lat = fn(
+            self.unet_params,
+            self.vae_params,
+            latents,
+            text_embeddings,
+            masks,
+            _plan_arrays(plan),
+            dict(
+                g=jnp.float32(spec.guidance_scale),
+                inject_gates=jnp.asarray(inject_gates),
+                bg_gates=jnp.asarray(bg_gates),
+                guidance_gates=jnp.asarray(guidance_gates),
+                alpha_raw=jnp.asarray(alpha_raw),
+                tw_rows=tw_rows,
+                ts_rows=ts_rows,
+                color_masks_px=color_masks_px,
+                target_rgb=target_rgb,
+                color_all=color_all,
+                color_w=jnp.float32(spec.color_guidance_weight),
+            ),
+        )
+        return lat
+
+    def _rich_fn(self, latent_hw, num_steps, n_styles, run_reference,
+                 use_grad, use_tw):
+        key = ("rich", latent_hw, num_steps, n_styles, run_reference,
+               use_grad, use_tw)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        sched = self.scheduler
+        unet = self.unet
+        vae = self.vae
+        vae_cfg = self.vae_cfg
+        R = n_styles - 1  # span regions (masks[:-1])
+
+        capture_ref = CaptureSpec(
+            qk=True, resnet=frozenset({"up_blocks.1.resnets.1"})
+        ) if run_reference else CaptureSpec()
+
+        @jax.jit
+        def run(params, vae_params, latents, embeds, masks, plan, ctl):
+            n_lat = 2 if run_reference else 1
+            st0 = sched.init_state((n_lat, *latents.shape[1:]))
+
+            decode = jax.checkpoint(
+                lambda vp, z: vae.apply(vp, z, method=vae.decode)
+            )
+
+            def body(carry, i):
+                lat_all, st = carry
+                lat = lat_all[0:1]
+                t = plan.timesteps[i]
+                gate = ctl["inject_gates"][i]
+
+                if run_reference:
+                    lat_ref = lat_all[1:2]
+                    xa = jnp.concatenate([lat, lat, lat_ref, lat_ref], 0)
+                    ea = jnp.stack(
+                        [embeds[0], embeds[-1], embeds[0], embeds[-1]], 0
+                    )
+                    twa = tsa = None
+                    if use_tw:
+                        twa = jnp.ones((4, 77), jnp.float32)
+                        twa = twa.at[1].set(ctl["tw_rows"][-1])
+                        tsa = jnp.ones((4, 77), jnp.float32)
+                        tsa = tsa.at[1].set(ctl["ts_rows"][-1])
+                    eps_a, aux = unet.apply(
+                        params, xa, t, ea,
+                        controls=UNetControls(token_weights=twa,
+                                              token_signs=tsa),
+                        capture=capture_ref,
+                    )
+                    eps_a = eps_a.astype(jnp.float32)
+                    inj_qk = {
+                        n: (q[3:4], k[3:4]) for n, (q, k) in aux["self_qk"].items()
+                    }
+                    inj_res = {
+                        n: f[3:4] for n, f in aux["resnet_hidden"].items()
+                    }
+                    controls_b = UNetControls(
+                        inject_gate=gate, inject_qk=inj_qk,
+                        inject_resnet=inj_res,
+                    )
+                    xb = jnp.tile(lat, (R, 1, 1, 1))
+                    eb = embeds[1 : 1 + R]
+                    eps_b, _ = unet.apply(params, xb, t, eb,
+                                          controls=controls_b)
+                    eps_b = eps_b.astype(jnp.float32)
+                    eps_uncond = eps_a[0:1]
+                    eps_base = eps_a[1:2]
+                    eps_spans = eps_b
+                    eps_ref = eps_a[2:3] + ctl["g"] * (eps_a[3:4] - eps_a[2:3])
+                else:
+                    x = jnp.concatenate([lat] * (R + 2), axis=0)
+                    controls = UNetControls(
+                        token_weights=ctl["tw_rows"], token_signs=ctl["ts_rows"]
+                    ) if use_tw else None
+                    eps_all, _ = unet.apply(params, x, t, embeds,
+                                            controls=controls)
+                    eps_all = eps_all.astype(jnp.float32)
+                    eps_uncond = eps_all[0:1]
+                    eps_spans = eps_all[1 : 1 + R]
+                    eps_base = eps_all[R + 1 : R + 2]
+
+                # ---- composite under masks (region_diffusion.py:119-128)
+                mask_sum = masks.sum(0, keepdims=False)  # [h,w,1] ≈ 1
+                noise_uncond = eps_uncond * mask_sum[None]
+                noise_text = eps_base * masks[-1][None]
+                if R > 0:
+                    noise_text = noise_text + (eps_spans * masks[:-1]).sum(
+                        0, keepdims=True
+                    )
+                noise = noise_uncond + ctl["g"] * (noise_text - noise_uncond)
+
+                # ---- scheduler step (both trajectories stacked)
+                if run_reference:
+                    eps_pair = jnp.concatenate([noise, eps_ref], axis=0)
+                    lat_pair, st_new = sched.step(
+                        plan, i, st, eps_pair, lat_all
+                    )
+                    lat, lat_ref = lat_pair[0:1], lat_pair[1:2]
+                else:
+                    lat, st_new = sched.step(plan, i, st, noise, lat_all)
+                    lat_ref = None
+
+                # ---- gradient color guidance (region_diffusion.py:151-168)
+                if use_grad:
+                    def color_loss(l):
+                        a = ctl["alpha_raw"][i]
+                        x0 = (l - noise * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+                        imgs = decode(
+                            vae_params,
+                            x0.astype(jnp.float32) / vae_cfg.scaling_factor,
+                        )
+                        imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+                        # imgs [1,H,W,3]; masks [n,H,W]
+                        m = ctl["color_masks_px"]
+                        num = jnp.einsum("bhwc,nhw->nc", imgs, m)
+                        den = m.sum(axis=(1, 2))[:, None] + 1e-12
+                        avg_rgb = num / den
+                        per = jnp.mean(
+                            (avg_rgb - ctl["target_rgb"]) ** 2, axis=1
+                        ) * 100.0
+                        return per.sum()
+
+                    def guided(l):
+                        grad = jax.grad(color_loss)(l)
+                        return l - grad * ctl["color_w"] * ctl["color_all"]
+
+                    lat = jax.lax.cond(
+                        ctl["guidance_gates"][i], guided, lambda l: l, lat
+                    )
+
+                # ---- background injection (region_diffusion.py:171-173)
+                if run_reference:
+                    bg = ctl["bg_gates"][i]
+                    lat = jnp.where(
+                        bg,
+                        lat_ref * masks[-1][None] + lat * (1 - masks[-1][None]),
+                        lat,
+                    )
+                    lat_all_new = jnp.concatenate([lat, lat_ref], axis=0)
+                else:
+                    lat_all_new = lat
+                return (lat_all_new, st_new), None
+
+            lat0 = (
+                jnp.concatenate([latents, latents], axis=0)
+                if run_reference
+                else latents
+            )
+            (lat_fin, _), _ = jax.lax.scan(
+                body, (lat0, st0), jnp.arange(num_steps)
+            )
+            return lat_fin[0:1]
+
+        self._jit_cache[key] = run
+        return run
+
+    # --------------------------------------------------------------- helper
+    def predict_x0(self, x_t, eps_t, t: int):
+        a = float(self.scheduler.alphas_cumprod[int(t)])
+        return (x_t - eps_t * np.sqrt(1 - a)) / np.sqrt(a)
+
+
+def _plan_arrays(plan):
+    """Move plan arrays into a dict pytree of jnp arrays (device constants)."""
+    return dataclasses.replace(
+        plan,
+        timesteps=jnp.asarray(plan.timesteps),
+        alpha_prod_t=jnp.asarray(plan.alpha_prod_t),
+        alpha_prod_t_prev=jnp.asarray(plan.alpha_prod_t_prev),
+        ets_coeffs=jnp.asarray(plan.ets_coeffs),
+        mo_coeff=jnp.asarray(plan.mo_coeff),
+        append_ets=jnp.asarray(plan.append_ets),
+        use_cur_sample=jnp.asarray(plan.use_cur_sample),
+        store_cur_sample=jnp.asarray(plan.store_cur_sample),
+    )
+
+
+def _init_shapes_sd(unet, vae, text):
+    """Shape-only init trees for the converter (no FLOPs)."""
+    u = jax.eval_shape(
+        lambda: unet.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, unet.cfg.sample_size, unet.cfg.sample_size,
+                       unet.cfg.in_channels)),
+            jnp.int32(0),
+            jnp.zeros((1, 77, unet.cfg.cross_attention_dim)),
+        )
+    )
+    px = unet.cfg.sample_size * 8
+    v = jax.eval_shape(
+        lambda: vae.init(jax.random.PRNGKey(0), jnp.zeros((1, px, px, 3)))
+    )
+    t = jax.eval_shape(
+        lambda: text.init(jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32))
+    )
+    return u, v, t

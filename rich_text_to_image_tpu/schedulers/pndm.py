@@ -25,6 +25,7 @@ has N+1 entries (the second entry is duplicated), exactly like the original's
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,9 +34,27 @@ import numpy as np
 from .common import make_alphas_cumprod
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=(
+        "timesteps",
+        "alpha_prod_t",
+        "alpha_prod_t_prev",
+        "ets_coeffs",
+        "mo_coeff",
+        "append_ets",
+        "use_cur_sample",
+        "store_cur_sample",
+    ),
+    meta_fields=("num_steps",),
+)
 @dataclasses.dataclass(frozen=True)
 class PNDMPlan:
-    """Host-side per-step constants; arrays are indexed by scan step i."""
+    """Host-side per-step constants; arrays are indexed by scan step i.
+
+    Registered as a pytree (num_steps static) so a plan passes straight
+    through jit/scan boundaries.
+    """
 
     timesteps: np.ndarray  # (S,) int32 — the t fed to the UNet
     alpha_prod_t: np.ndarray  # (S,) float32 — for _get_prev_sample (t_eff)
