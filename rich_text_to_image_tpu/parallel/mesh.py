@@ -1,0 +1,65 @@
+"""Device mesh + sharding rules.
+
+The reference is strictly single-GPU (SURVEY §2: no distributed backend at
+all), so parallelism here is *introduced*, not ported:
+
+  * ``dp`` — data parallelism: benchmark work items (prompts × colors ×
+    seeds are embarrassingly parallel, evaluation/benchmark_color.py) and
+    the rich pass's region batch.
+  * ``tp`` — tensor parallelism: attention/MLP/conv channel dims sharded;
+    XLA GSPMD inserts the collectives over ICI.
+
+``shard_params`` annotates a flax param tree with NamedShardings by rule:
+kernels whose output dim divides the tp axis shard there; everything else
+replicates. Activations follow via GSPMD propagation from the batch
+constraint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_names=("dp", "tp"),
+              tp: int | None = None) -> Mesh:
+    """Build a (dp, tp) mesh over the available devices.
+
+    ``tp`` defaults to the largest power of two ≤ 4 dividing the device
+    count (v5e-4: tp=4 on one host; tp=1 falls back to pure DP).
+    """
+    devices = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devices)
+    if tp is None:
+        tp = 1
+        for cand in (4, 2):
+            if n % cand == 0:
+                tp = cand
+                break
+    dp = n // tp
+    arr = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+    return Mesh(arr, axis_names)
+
+
+def param_spec(path_leaf_shape, mesh: Mesh, tp_axis: str = "tp"):
+    """PartitionSpec for one param leaf: shard the widest weight dim on tp."""
+    shape = path_leaf_shape
+    tp_size = mesh.shape[tp_axis]
+    if len(shape) >= 2 and shape[-1] % tp_size == 0 and shape[-1] >= tp_size * 8:
+        return P(*([None] * (len(shape) - 1)), tp_axis)
+    return P()
+
+
+def shard_params(params, mesh: Mesh, tp_axis: str = "tp"):
+    """NamedSharding tree for a flax param tree (rule of param_spec)."""
+    return jax.tree.map(
+        lambda leaf: NamedSharding(mesh, param_spec(np.shape(leaf), mesh, tp_axis)),
+        params,
+    )
+
+
+def batch_spec(mesh: Mesh, dp_axis: str = "dp") -> P:
+    return P(dp_axis)
