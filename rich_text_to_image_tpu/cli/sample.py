@@ -1,0 +1,181 @@
+"""CLI sampler — flag- and flow-compatible with the reference sample.py.
+
+Same knob set (SURVEY §5 "the knob set IS the public API"): --seed,
+--sample_steps, --rich_text_json, --negative_prompt, --model,
+--guidance_weight, --color_guidance_weight, --inject_selfattn,
+--segment_threshold, --num_segments, --inject_background, --run_dir,
+--height/--width. Plus TPU-framework additions: --checkpoint_dir (local HF
+checkpoint; the reference downloads from the hub at runtime) and
+--random_weights (weight-free smoke mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_model(args):
+    import jax.numpy as jnp
+
+    if args.model in ("SD",):
+        from ..pipelines.region_sd import RegionDiffusion
+
+        if args.checkpoint_dir:
+            return RegionDiffusion.from_pretrained(args.checkpoint_dir)
+        if args.random_weights:
+            return RegionDiffusion.random_init(seed=0)
+        raise SystemExit(
+            "no weights: pass --checkpoint_dir <local SD-1.5 dir> "
+            "or --random_weights"
+        )
+    elif args.model in ("SDXL", "AnimeXL"):
+        from ..pipelines.region_sdxl import RegionDiffusionXL
+
+        if args.checkpoint_dir:
+            return RegionDiffusionXL.from_pretrained(args.checkpoint_dir)
+        if args.random_weights:
+            return RegionDiffusionXL.random_init(seed=0)
+        raise SystemExit(
+            "no weights: pass --checkpoint_dir <local SDXL dir> "
+            "or --random_weights"
+        )
+    raise NotImplementedError(args.model)
+
+
+def run_sample(model, args, param, save=True):
+    """The reference main() flow (sample.py:17-114)."""
+    from ..utils import richtext
+    from ..utils.token_maps import get_token_maps
+    from ..ops.resize import resize_bicubic
+
+    run_dir = args.run_dir
+    os.makedirs(run_dir, exist_ok=True)
+    parsed = richtext.parse_json(param["text_input"])
+    tok = model.tokenizer._tokenize
+    region_text_prompts, region_target_token_ids, base_tokens = (
+        richtext.get_region_diffusion_input(tok, parsed)
+    )
+    text_format_dict = richtext.get_attention_control_input(
+        tok, base_tokens, parsed
+    )
+    text_format_dict, color_target_token_ids = richtext.get_gradient_guidance_input(
+        tok, base_tokens, parsed, text_format_dict,
+        color_guidance_weight=args.color_guidance_weight,
+    )
+
+    height, width = param["height"], param["width"]
+    seed = param["noise_index"]
+    negative_text = param["negative_prompt"]
+    f = model.vae_scale_factor
+    lat_hw = (height // f, width // f)
+
+    # ---- plain pass + attention aggregation
+    begin = time.time()
+    plain_img, agg = model.produce_attn_maps(
+        [parsed.base_text_prompt], [negative_text],
+        height=height, width=width, num_inference_steps=param["steps"],
+        guidance_scale=param["guidance_weight"], seed=seed,
+    )
+    if save:
+        _imwrite(os.path.join(run_dir, f"seed{seed}_plain.jpg"), plain_img[0])
+    print("time lapses to get attention maps: %.4f" % (time.time() - begin))
+
+    # ---- token maps (color spans, then region spans — sample.py:77-92)
+    color_obj_masks = get_token_maps(
+        agg, color_target_token_ids[:-1], lat_hw, seed,
+        segment_threshold=args.segment_threshold,
+        num_segments=args.num_segments,
+    )
+    color_obj_atten_all = np.zeros_like(color_obj_masks[-1])
+    for m in color_obj_masks[:-1]:
+        color_obj_atten_all += m
+    text_format_dict["color_obj_atten"] = [
+        np.asarray(resize_bicubic(np.asarray(m), (height, width)))
+        for m in color_obj_masks[:-1]
+    ]
+    text_format_dict["color_obj_atten_all"] = color_obj_atten_all
+    model.masks = get_token_maps(
+        agg, region_target_token_ids[:-1], lat_hw, seed,
+        segment_threshold=args.segment_threshold,
+        num_segments=args.num_segments,
+    )
+
+    # ---- rich pass
+    begin = time.time()
+    rich_img = model.prompt_to_img(
+        region_text_prompts, [negative_text],
+        height=height, width=width, num_inference_steps=param["steps"],
+        guidance_scale=param["guidance_weight"],
+        use_guidance=parsed.use_grad_guidance,
+        inject_selfattn=args.inject_selfattn,
+        inject_background=args.inject_background,
+        text_format_dict=text_format_dict, seed=seed,
+    )
+    if save:
+        _imwrite(os.path.join(run_dir, f"seed{seed}_rich.jpg"), rich_img[0])
+    print(
+        "time lapses to generate image from rich text: %.4f"
+        % (time.time() - begin)
+    )
+    return plain_img, rich_img
+
+
+def _imwrite(path, img):
+    try:
+        import imageio
+
+        imageio.imwrite(path, img)
+    except Exception:
+        from PIL import Image
+
+        Image.fromarray(img).save(path)
+
+
+def make_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--run_dir", type=str, default="results/")
+    parser.add_argument("--height", type=int, default=None)
+    parser.add_argument("--width", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=6)
+    parser.add_argument("--sample_steps", type=int, default=41)
+    parser.add_argument(
+        "--rich_text_json", type=str,
+        default='{"ops":[{"insert":"A close-up 4k dslr photo of a "},{"attributes":{"link":"A cat wearing sunglasses and a bandana around its neck."},"insert":"cat"},{"insert":" riding a scooter. There are palm trees in the background."}]}',
+    )
+    parser.add_argument("--negative_prompt", type=str, default="")
+    parser.add_argument("--model", type=str, default="SD",
+                        choices=["SD", "SDXL", "AnimeXL"])
+    parser.add_argument("--guidance_weight", type=float, default=8.5)
+    parser.add_argument("--color_guidance_weight", type=float, default=0.5)
+    parser.add_argument("--inject_selfattn", type=float, default=0.0)
+    parser.add_argument("--segment_threshold", type=float, default=0.3)
+    parser.add_argument("--num_segments", type=int, default=9)
+    parser.add_argument("--inject_background", type=float, default=0.0)
+    parser.add_argument("--checkpoint_dir", type=str, default=None)
+    parser.add_argument("--random_weights", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    default_resolution = 512 if args.model == "SD" else 1024
+    param = {
+        "text_input": json.loads(args.rich_text_json),
+        "height": args.height or default_resolution,
+        "width": args.width or default_resolution,
+        "guidance_weight": args.guidance_weight,
+        "steps": args.sample_steps,
+        "noise_index": args.seed,
+        "negative_prompt": args.negative_prompt,
+    }
+    model = build_model(args)
+    run_sample(model, args, param)
+
+
+if __name__ == "__main__":
+    main()

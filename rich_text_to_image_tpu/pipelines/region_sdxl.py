@@ -1,0 +1,648 @@
+"""RegionDiffusionXL — the SDXL/AnimeXL rich-text pipeline, TPU-native.
+
+Re-designs models/region_diffusion_sdxl.py (reference): dual CLIP text
+encoders (penultimate hidden states concatenated, projected pooled output —
+:351-356), text_time micro-conditioning (:539-553), EulerDiscrete scheduler
+with ``scale_model_input`` per forward (:784), fp32 VAE decode (:916-917),
+and the same rich region loop as SD but with SDXL's gating quirks:
+
+  * self-attention capture *accumulates* over steps>10 for **all** attn1
+    layers (no registry filter — :986-992), unlike SD's last-step overwrite;
+  * the reference-trajectory scheduler step is gated on
+    ``inject_selfattn > 0 or i < inject_background*len`` (:832 — the refer
+    latents stop evolving after the background window when only background
+    injection is on);
+  * background composite at ``i == int(inject_background*len)`` (:870).
+
+The reference's "efficient" variant (C7: CPU offload, bf16 decode) is
+unnecessary on TPU HBM — bf16 UNet + fp32 VAE is the policy here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import config as cfgs
+from ..models.clip import CLIPTextModel
+from ..models.tokenizer import CLIPTokenizer
+from ..models.unet import CaptureSpec, UNet2DCondition, UNetControls
+from ..models.vae import AutoencoderKL
+from ..ops.attention import make_token_weight_vectors
+from ..schedulers import EulerDiscreteScheduler
+from ..utils.registries import CrossAttentionLayers_XL, attn_layer_resolutions
+from ..utils.token_maps import SEG_RESOLUTION, AttnAggregates
+from .region_sd import RichControlSpec
+
+
+class RegionDiffusionXL:
+    """SDXL rich-text-to-image pipeline (also AnimeXL checkpoints)."""
+
+    def __init__(
+        self,
+        unet_params,
+        vae_params,
+        text_params,
+        text2_params,
+        tokenizer: CLIPTokenizer,
+        tokenizer_2: CLIPTokenizer,
+        unet_cfg: cfgs.UNetConfig = cfgs.SDXL_UNET,
+        vae_cfg: cfgs.VAEConfig = cfgs.SDXL_VAE,
+        text_cfg: cfgs.CLIPTextConfig = cfgs.SDXL_TEXT,
+        text2_cfg: cfgs.CLIPTextConfig = cfgs.SDXL_TEXT_2,
+        dtype=jnp.bfloat16,
+        force_zeros_for_empty_prompt: bool = True,
+        agg_start_step: int = 10,
+    ):
+        self.unet = UNet2DCondition(unet_cfg, dtype=dtype)
+        self.vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
+        self.text_encoder = CLIPTextModel(text_cfg, dtype=jnp.float32)
+        self.text_encoder_2 = CLIPTextModel(text2_cfg, dtype=jnp.float32)
+        self.unet_params = unet_params
+        self.vae_params = vae_params
+        self.text_params = text_params
+        self.text2_params = text2_params
+        self.tokenizer = tokenizer
+        self.tokenizer_2 = tokenizer_2
+        self.unet_cfg = unet_cfg
+        self.vae_cfg = vae_cfg
+        self.scheduler = EulerDiscreteScheduler()
+        self.dtype = dtype
+        self.force_zeros_for_empty_prompt = force_zeros_for_empty_prompt
+        self.agg_start_step = agg_start_step
+        self.vae_scale_factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
+        self.default_sample_size = unet_cfg.sample_size
+        self.masks: list[np.ndarray] = []
+        self._jit_cache: dict[Any, Any] = {}
+
+    # ------------------------------------------------------------ factories
+    @classmethod
+    def from_pretrained(cls, checkpoint_dir: str, dtype=jnp.bfloat16):
+        import os
+
+        from ..models.convert import (
+            convert_clip_text,
+            convert_unet,
+            convert_vae,
+            load_safetensors_dir,
+        )
+
+        tok = CLIPTokenizer.from_pretrained(os.path.join(checkpoint_dir, "tokenizer"))
+        tok2 = CLIPTokenizer.from_pretrained(
+            os.path.join(checkpoint_dir, "tokenizer_2"), pad_token="!"
+        )
+        unet = UNet2DCondition(cfgs.SDXL_UNET, dtype=dtype)
+        vae = AutoencoderKL(cfgs.SDXL_VAE)
+        text = CLIPTextModel(cfgs.SDXL_TEXT)
+        text2 = CLIPTextModel(cfgs.SDXL_TEXT_2)
+
+        def shapes(m, *a):
+            return jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), *a))
+
+        s = cfgs.SDXL_UNET.sample_size
+        u_t = shapes(
+            unet,
+            jnp.zeros((1, s, s, 4)),
+            jnp.int32(0),
+            jnp.zeros((1, 77, 2048)),
+            {"text_embeds": jnp.zeros((1, 1280)),
+             "time_ids": jnp.zeros((1, 6))},
+        )
+        v_t = shapes(vae, jnp.zeros((1, s * 8, s * 8, 3)))
+        t_t = shapes(text, jnp.zeros((1, 77), jnp.int32))
+        t2_t = shapes(text2, jnp.zeros((1, 77), jnp.int32))
+        return cls(
+            {"params": convert_unet(
+                load_safetensors_dir(os.path.join(checkpoint_dir, "unet")),
+                cfgs.SDXL_UNET, u_t["params"], dtype=dtype)},
+            {"params": convert_vae(
+                load_safetensors_dir(os.path.join(checkpoint_dir, "vae")),
+                cfgs.SDXL_VAE, v_t["params"])},
+            {"params": convert_clip_text(
+                load_safetensors_dir(os.path.join(checkpoint_dir, "text_encoder")),
+                cfgs.SDXL_TEXT, t_t["params"])},
+            {"params": convert_clip_text(
+                load_safetensors_dir(
+                    os.path.join(checkpoint_dir, "text_encoder_2")),
+                cfgs.SDXL_TEXT_2, t2_t["params"])},
+            tok, tok2, dtype=dtype,
+        )
+
+    @classmethod
+    def random_init(
+        cls,
+        seed: int = 0,
+        unet_cfg: cfgs.UNetConfig = cfgs.SDXL_UNET,
+        vae_cfg: cfgs.VAEConfig = cfgs.SDXL_VAE,
+        text_cfg: cfgs.CLIPTextConfig = cfgs.SDXL_TEXT,
+        text2_cfg: cfgs.CLIPTextConfig = cfgs.SDXL_TEXT_2,
+        tokenizer: CLIPTokenizer | None = None,
+        dtype=jnp.bfloat16,
+        **kw,
+    ):
+        tokenizer = tokenizer or CLIPTokenizer.byte_level()
+        tokenizer_2 = kw.pop("tokenizer_2", None) or tokenizer
+        vocab = max(len(tokenizer.encoder), len(tokenizer_2.encoder))
+        if vocab > text_cfg.vocab_size:
+            text_cfg = dataclasses.replace(text_cfg, vocab_size=vocab)
+        if vocab > text2_cfg.vocab_size:
+            text2_cfg = dataclasses.replace(text2_cfg, vocab_size=vocab)
+        unet = UNet2DCondition(unet_cfg, dtype=dtype)
+        vae = AutoencoderKL(vae_cfg)
+        text = CLIPTextModel(text_cfg)
+        text2 = CLIPTextModel(text2_cfg)
+        k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 4)
+        s = unet_cfg.sample_size
+        pooled_dim = text2_cfg.projection_dim or text2_cfg.hidden_size
+        up = unet.init(
+            k0, jnp.zeros((1, s, s, unet_cfg.in_channels)), jnp.int32(0),
+            jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
+            {"text_embeds": jnp.zeros((1, pooled_dim)),
+             "time_ids": jnp.zeros((1, 6))},
+        )
+        px = s * 2 ** (len(vae_cfg.block_out_channels) - 1)
+        vp = vae.init(k1, jnp.zeros((1, px, px, 3)))
+        tp = text.init(k2, jnp.zeros((1, 77), jnp.int32))
+        tp2 = text2.init(k3, jnp.zeros((1, 77), jnp.int32))
+        return cls(up, vp, tp, tp2, tokenizer, tokenizer_2,
+                   unet_cfg, vae_cfg, text_cfg, text2_cfg, dtype=dtype, **kw)
+
+    # ----------------------------------------------------------------- text
+    @functools.cached_property
+    def _text_apply(self):
+        @jax.jit
+        def run(ids, ids2):
+            o1 = self.text_encoder.apply(
+                self.text_params, ids,
+                eos_token_id=self.tokenizer.eos_token_id,
+            )
+            o2 = self.text_encoder_2.apply(
+                self.text2_params, ids2,
+                eos_token_id=self.tokenizer_2.eos_token_id,
+            )
+            embeds = jnp.concatenate(
+                [o1["penultimate"], o2["penultimate"]], axis=-1
+            )
+            pooled = o2.get("projected", o2["pooled"])
+            return embeds, pooled
+
+        return run
+
+    def encode_prompt(self, prompts, negative_prompt=""):
+        """[uncond, prompts...] embeds [N+1,77,2048] + pooled [N+1,P].
+
+        force_zeros_for_empty_prompt: empty negative → zero embeddings
+        (reference region_diffusion_sdxl.py:369-377).
+        """
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        if isinstance(negative_prompt, (list, tuple)):
+            negative_prompt = negative_prompt[0] if negative_prompt else ""
+        ids = jnp.asarray(self.tokenizer(list(prompts)))
+        ids2 = jnp.asarray(self.tokenizer_2(list(prompts)))
+        embeds, pooled = self._text_apply(ids, ids2)
+        if negative_prompt == "" and self.force_zeros_for_empty_prompt:
+            neg_e = jnp.zeros_like(embeds[:1])
+            neg_p = jnp.zeros_like(pooled[:1])
+        else:
+            nids = jnp.asarray(self.tokenizer([negative_prompt]))
+            nids2 = jnp.asarray(self.tokenizer_2([negative_prompt]))
+            neg_e, neg_p = self._text_apply(nids, nids2)
+        return (
+            jnp.concatenate([neg_e, embeds], axis=0),
+            jnp.concatenate([neg_p, pooled], axis=0),
+        )
+
+    def _get_add_time_ids(self, original_size, crops_coords_top_left, target_size):
+        return np.asarray(
+            [list(original_size) + list(crops_coords_top_left) + list(target_size)],
+            dtype=np.float32,
+        )
+
+    # ------------------------------------------------------------ VAE utils
+    @functools.cached_property
+    def _decode(self):
+        @jax.jit
+        def run(latents):
+            imgs = self.vae.apply(
+                self.vae_params,
+                latents.astype(jnp.float32) / self.vae_cfg.scaling_factor,
+                method=self.vae.decode,
+            )
+            return jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+
+        return run
+
+    def decode_latents(self, latents) -> np.ndarray:
+        imgs = np.asarray(self._decode(latents))
+        return (imgs * 255).round().astype(np.uint8)
+
+    # ------------------------------------------------------- capture layout
+    def _capture_layout(self, latent_hw):
+        res_map = attn_layer_resolutions(self.unet_cfg, latent_hw)
+        seg_res = min(SEG_RESOLUTION, latent_hw[0] // 2)
+        # SDXL: ALL attn1 layers at the segmentation resolution (no registry
+        # filter, region_diffusion_sdxl.py:986-992)
+        self_layers = tuple(
+            n for n, r in sorted(res_map.items())
+            if n.endswith(".attn1") and r == seg_res
+        )
+        cross_by_res: dict[int, tuple[str, ...]] = {}
+        for n in CrossAttentionLayers_XL:
+            r = res_map.get(n)
+            if r is not None:
+                cross_by_res.setdefault(r, ())
+                cross_by_res[r] += (n,)
+        return seg_res, self_layers, cross_by_res
+
+    # --------------------------------------------------------------- sample
+    def sample(
+        self,
+        prompt,
+        negative_prompt="",
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 5.0,
+        run_rich_text: bool = False,
+        use_guidance: bool = False,
+        inject_selfattn: float = 0.0,
+        inject_background: float = 0.0,
+        text_format_dict: Optional[dict] = None,
+        latents: Optional[jnp.ndarray] = None,
+        seed: int = 0,
+        original_size: Optional[tuple] = None,
+        crops_coords_top_left: tuple = (0, 0),
+        target_size: Optional[tuple] = None,
+    ):
+        """Reference single-entry sample() (region_diffusion_sdxl.py:555):
+        plain branch when run_rich_text=False, rich branch otherwise."""
+        height = height or self.default_sample_size * self.vae_scale_factor
+        width = width or self.default_sample_size * self.vae_scale_factor
+        original_size = original_size or (height, width)
+        target_size = target_size or (height, width)
+
+        embeds, pooled = self.encode_prompt(prompt, negative_prompt)
+        add_time_ids = jnp.asarray(
+            self._get_add_time_ids(original_size, crops_coords_top_left,
+                                   target_size)
+        )
+        h, w = height // self.vae_scale_factor, width // self.vae_scale_factor
+        plan = self.scheduler.plan(num_inference_steps)
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed), (1, h, w, self.unet_cfg.in_channels)
+            )
+        latents = latents * plan.init_noise_sigma
+
+        if not run_rich_text:
+            seg_res, self_layers, cross_by_res = self._capture_layout((h, w))
+            fn = self._plain_fn((h, w), plan.num_steps, seg_res, self_layers,
+                                tuple(sorted(cross_by_res.items())))
+            lat, self_sum, cross = fn(
+                self.unet_params, latents, embeds[:2], pooled[:2],
+                add_time_ids, plan, jnp.float32(guidance_scale),
+            )
+            self.attn_aggregates = AttnAggregates(
+                self_sum=np.asarray(self_sum),
+                self_count=len(self_layers),
+                cross_sums={r: np.asarray(v) for (r, _), v in
+                            zip(sorted(cross_by_res.items()), cross)},
+                cross_layer_count=sum(len(v) for v in cross_by_res.values()),
+            )
+            return self.decode_latents(lat)
+
+        return self._sample_rich(
+            embeds, pooled, add_time_ids, (h, w), plan,
+            RichControlSpec(
+                guidance_scale=guidance_scale,
+                inject_selfattn=inject_selfattn,
+                inject_background=inject_background,
+                use_guidance=use_guidance,
+                guidance_start_step=(text_format_dict or {}).get(
+                    "guidance_start_step", 999),
+                color_guidance_weight=(text_format_dict or {}).get(
+                    "color_guidance_weight", 1.0),
+            ),
+            dict(text_format_dict or {}), latents, (height, width),
+        )
+
+    # wrapper so the SD-style CLI flow works identically
+    def produce_attn_maps(self, prompts, negative_prompts="", height=1024,
+                          width=1024, num_inference_steps=50,
+                          guidance_scale=5.0, latents=None, seed=0):
+        img = self.sample(
+            prompts, negative_prompts, height=height, width=width,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, run_rich_text=False,
+            latents=latents, seed=seed,
+        )
+        return img, self.attn_aggregates
+
+    def prompt_to_img(self, prompts, negative_prompts="", height=1024,
+                      width=1024, num_inference_steps=50, guidance_scale=5.0,
+                      latents=None, text_format_dict=None, use_guidance=False,
+                      inject_selfattn=0.0, inject_background=0.0, seed=0):
+        return self.sample(
+            prompts, negative_prompts, height=height, width=width,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale, run_rich_text=True,
+            use_guidance=use_guidance, inject_selfattn=inject_selfattn,
+            inject_background=inject_background,
+            text_format_dict=text_format_dict, latents=latents, seed=seed,
+        )
+
+    # ------------------------------------------------------------ plain fn
+    def _plain_fn(self, latent_hw, num_steps, seg_res, self_layers, cross_items):
+        key = ("plain", latent_hw, num_steps, self_layers, cross_items)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        sched = self.scheduler
+        unet = self.unet
+        capture = CaptureSpec(
+            self_probs=frozenset(self_layers),
+            cross_probs=frozenset(n for _, ns in cross_items for n in ns),
+        )
+        agg_start = self.agg_start_step
+
+        @jax.jit
+        def run(params, latents, embeds, pooled, time_ids, plan, g):
+            s2 = seg_res * seg_res
+            self0 = jnp.zeros((s2, s2), jnp.float32)
+            cross0 = tuple(
+                jnp.zeros((r * r, 77), jnp.float32) for r, _ in cross_items
+            )
+
+            def body(carry, i):
+                lat, self_sum, cross = carry
+                t = plan.timesteps[i]
+                x = jnp.concatenate([lat, lat], axis=0)
+                x = sched.scale_model_input(plan, i, x)
+                added = {
+                    "text_embeds": pooled,
+                    "time_ids": jnp.tile(time_ids, (2, 1)),
+                }
+                eps, aux = unet.apply(params, x, t, embeds, added_cond=added,
+                                      capture=capture)
+                w = (i >= agg_start).astype(jnp.float32)
+                # SDXL accumulates self maps over steps (no overwrite quirk)
+                if self_layers:
+                    self_sum = self_sum + w * sum(
+                        aux["self_probs"][n][1].astype(jnp.float32)
+                        for n in self_layers
+                    )
+                cross = tuple(
+                    c + w * sum(
+                        aux["cross_probs"][n][1].astype(jnp.float32)
+                        for n in ns
+                    )
+                    for c, (_, ns) in zip(cross, cross_items)
+                )
+                eps = eps.astype(jnp.float32)
+                e = eps[0:1] + g * (eps[1:2] - eps[0:1])
+                lat, _ = sched.step(plan, i, (), e, lat)
+                return (lat, self_sum, cross), None
+
+            (lat, self_sum, cross), _ = jax.lax.scan(
+                body, (latents, self0, cross0), jnp.arange(num_steps)
+            )
+            return lat, self_sum, cross
+
+        self._jit_cache[key] = run
+        return run
+
+    # ------------------------------------------------------------- rich fn
+    def _sample_rich(self, embeds, pooled, time_ids, latent_hw, plan, spec,
+                     text_format_dict, latents, pixel_hw):
+        h, w = latent_hw
+        height, width = pixel_hw
+        n_styles = embeds.shape[0] - 1
+        assert n_styles == len(self.masks), (n_styles, len(self.masks))
+        S = plan.num_steps
+
+        inject_gates = plan.timesteps.astype(np.float64) > (
+            (1 - spec.inject_selfattn) * 1000
+        )
+        # refer trajectory steps while inject_selfattn>0 or i < bg*len (:832)
+        ref_step_gates = np.asarray(
+            [spec.inject_selfattn > 0 or i < spec.inject_background * S
+             for i in range(S)]
+        )
+        bg_step = int(spec.inject_background * S)
+        bg_gates = (np.arange(S) == bg_step) & (spec.inject_background > 0)
+        guidance_gates = (
+            plan.timesteps.astype(np.int64) < spec.guidance_start_step
+        ) & spec.use_guidance
+        alpha_raw = self.scheduler.alphas_cumprod[
+            plan.timesteps.astype(np.int64)
+        ].astype(np.float32)
+        run_reference = spec.inject_selfattn > 0 or spec.inject_background > 0
+
+        tw, ts = make_token_weight_vectors(
+            text_format_dict.get("word_pos"), text_format_dict.get("font_size")
+        )
+        use_tw = tw is not None
+        B = n_styles + 1
+        if use_tw:
+            tw_rows = jnp.ones((B, 77), jnp.float32).at[B - 1].set(tw)
+            ts_rows = jnp.ones((B, 77), jnp.float32).at[B - 1].set(ts)
+        else:
+            tw_rows = ts_rows = None
+
+        masks = jnp.asarray(
+            np.stack([np.asarray(m).reshape(h, w) for m in self.masks])
+        )[..., None]
+
+        use_grad = bool(spec.use_guidance)
+        if use_grad:
+            color_masks_px = jnp.asarray(np.stack(
+                [np.asarray(m).reshape(height, width)
+                 for m in text_format_dict["color_obj_atten"]]))
+            target_rgb = jnp.asarray(np.stack(
+                [np.asarray(c).reshape(3)
+                 for c in text_format_dict["target_RGB"]]))
+            color_all = jnp.asarray(
+                np.asarray(text_format_dict["color_obj_atten_all"]).reshape(h, w)
+            )[None, :, :, None]
+        else:
+            color_masks_px = jnp.zeros((1, height, width))
+            target_rgb = jnp.zeros((1, 3))
+            color_all = jnp.zeros((1, h, w, 1))
+
+        fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad, use_tw)
+        lat = fn(
+            self.unet_params, self.vae_params, latents, embeds, pooled,
+            time_ids, masks, plan,
+            dict(
+                g=jnp.float32(spec.guidance_scale),
+                inject_gates=jnp.asarray(inject_gates),
+                ref_step_gates=jnp.asarray(ref_step_gates),
+                bg_gates=jnp.asarray(bg_gates),
+                guidance_gates=jnp.asarray(guidance_gates),
+                alpha_raw=jnp.asarray(alpha_raw),
+                tw_rows=tw_rows,
+                ts_rows=ts_rows,
+                color_masks_px=color_masks_px,
+                target_rgb=target_rgb,
+                color_all=color_all,
+                color_w=jnp.float32(spec.color_guidance_weight),
+            ),
+        )
+        return self.decode_latents(lat)
+
+    def _rich_fn(self, latent_hw, num_steps, n_styles, run_reference,
+                 use_grad, use_tw):
+        key = ("rich", latent_hw, num_steps, n_styles, run_reference,
+               use_grad, use_tw)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        sched = self.scheduler
+        unet = self.unet
+        vae = self.vae
+        vae_cfg = self.vae_cfg
+        R = n_styles - 1
+
+        capture_ref = CaptureSpec(
+            qk=True, resnet=frozenset({"up_blocks.1.resnets.1"})
+        ) if run_reference else CaptureSpec()
+
+        @jax.jit
+        def run(params, vae_params, latents, embeds, pooled, time_ids, masks,
+                plan, ctl):
+            decode = jax.checkpoint(
+                lambda vp, z: vae.apply(vp, z, method=vae.decode)
+            )
+
+            def body(carry, i):
+                lat, lat_ref = carry
+                t = plan.timesteps[i]
+                gate = ctl["inject_gates"][i]
+                x_in = sched.scale_model_input(plan, i, lat)
+
+                if run_reference:
+                    x_ref_in = sched.scale_model_input(plan, i, lat_ref)
+                    xa = jnp.concatenate([x_in, x_in, x_ref_in, x_ref_in], 0)
+                    ea = jnp.stack(
+                        [embeds[0], embeds[-1], embeds[0], embeds[-1]], 0
+                    )
+                    pa = jnp.stack(
+                        [pooled[0], pooled[-1], pooled[0], pooled[-1]], 0
+                    )
+                    twa = tsa = None
+                    if use_tw:
+                        twa = jnp.ones((4, 77), jnp.float32).at[1].set(
+                            ctl["tw_rows"][-1])
+                        tsa = jnp.ones((4, 77), jnp.float32).at[1].set(
+                            ctl["ts_rows"][-1])
+                    eps_a, aux = unet.apply(
+                        params, xa, t, ea,
+                        added_cond={"text_embeds": pa,
+                                    "time_ids": jnp.tile(time_ids, (4, 1))},
+                        controls=UNetControls(token_weights=twa,
+                                              token_signs=tsa),
+                        capture=capture_ref,
+                    )
+                    eps_a = eps_a.astype(jnp.float32)
+                    inj_qk = {n: (q[3:4], k[3:4])
+                              for n, (q, k) in aux["self_qk"].items()}
+                    inj_res = {n: f[3:4]
+                               for n, f in aux["resnet_hidden"].items()}
+                    xb = jnp.tile(x_in, (R, 1, 1, 1))
+                    eps_b, _ = unet.apply(
+                        params, xb, t, embeds[1:1 + R],
+                        added_cond={
+                            "text_embeds": pooled[1:1 + R],
+                            "time_ids": jnp.tile(time_ids, (R, 1)),
+                        },
+                        controls=UNetControls(
+                            inject_gate=gate, inject_qk=inj_qk,
+                            inject_resnet=inj_res,
+                        ),
+                    )
+                    eps_b = eps_b.astype(jnp.float32)
+                    eps_uncond, eps_base = eps_a[0:1], eps_a[1:2]
+                    eps_spans = eps_b
+                    eps_ref = eps_a[2:3] + ctl["g"] * (eps_a[3:4] - eps_a[2:3])
+                else:
+                    x = jnp.concatenate([x_in] * (R + 2), axis=0)
+                    controls = UNetControls(
+                        token_weights=ctl["tw_rows"],
+                        token_signs=ctl["ts_rows"],
+                    ) if use_tw else None
+                    eps_all, _ = unet.apply(
+                        params, x, t, embeds,
+                        added_cond={"text_embeds": pooled,
+                                    "time_ids": jnp.tile(time_ids, (R + 2, 1))},
+                        controls=controls,
+                    )
+                    eps_all = eps_all.astype(jnp.float32)
+                    eps_uncond = eps_all[0:1]
+                    eps_spans = eps_all[1:1 + R]
+                    eps_base = eps_all[R + 1:R + 2]
+
+                mask_sum = masks.sum(0)
+                noise_uncond = eps_uncond * mask_sum[None]
+                noise_text = eps_base * masks[-1][None]
+                if R > 0:
+                    noise_text = noise_text + (eps_spans * masks[:-1]).sum(
+                        0, keepdims=True
+                    )
+                noise = noise_uncond + ctl["g"] * (noise_text - noise_uncond)
+
+                lat_new, _ = sched.step(plan, i, (), noise, lat)
+                if run_reference:
+                    ref_stepped, _ = sched.step(plan, i, (), eps_ref, lat_ref)
+                    lat_ref_new = jnp.where(
+                        ctl["ref_step_gates"][i], ref_stepped, lat_ref
+                    )
+                else:
+                    lat_ref_new = lat_ref
+                lat = lat_new
+
+                if use_grad:
+                    def color_loss(l):
+                        a = ctl["alpha_raw"][i]
+                        x0 = (l - noise * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+                        imgs = decode(
+                            vae_params,
+                            x0.astype(jnp.float32) / vae_cfg.scaling_factor,
+                        )
+                        imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+                        m = ctl["color_masks_px"]
+                        num = jnp.einsum("bhwc,nhw->nc", imgs, m)
+                        den = m.sum(axis=(1, 2))[:, None] + 1e-12
+                        per = jnp.mean(
+                            (num / den - ctl["target_rgb"]) ** 2, axis=1
+                        ) * 100.0
+                        return per.sum()
+
+                    lat = jax.lax.cond(
+                        ctl["guidance_gates"][i],
+                        lambda l: l - jax.grad(color_loss)(l)
+                        * ctl["color_w"] * ctl["color_all"],
+                        lambda l: l,
+                        lat,
+                    )
+
+                if run_reference:
+                    lat = jnp.where(
+                        ctl["bg_gates"][i],
+                        lat_ref_new * masks[-1][None]
+                        + lat * (1 - masks[-1][None]),
+                        lat,
+                    )
+                return (lat, lat_ref_new), None
+
+            lat_ref0 = latents if run_reference else jnp.zeros_like(latents)
+            (lat, _), _ = jax.lax.scan(
+                body, (latents, lat_ref0), jnp.arange(num_steps)
+            )
+            return lat
+
+        self._jit_cache[key] = run
+        return run

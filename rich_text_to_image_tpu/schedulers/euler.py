@@ -10,13 +10,20 @@ pure function — no state carry at all.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .common import make_alphas_cumprod
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("timesteps", "sigmas"),
+    meta_fields=("init_noise_sigma", "num_steps"),
+)
 @dataclasses.dataclass(frozen=True)
 class EulerPlan:
     timesteps: np.ndarray  # (S,) float32 — t fed to the UNet

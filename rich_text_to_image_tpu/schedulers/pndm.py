@@ -178,8 +178,8 @@ class PNDMScheduler:
     def init_noise_sigma(self) -> float:
         return 1.0
 
-    def scale_model_input(self, sample, i):  # parity with Euler's API
-        del i
+    def scale_model_input(self, plan, i, sample):  # parity with Euler's API
+        del plan, i
         return sample
 
     # ------------------------------------------------------------------ step
