@@ -1,0 +1,172 @@
+"""Local-style benchmark (protocol of evaluation/benchmark_style.py).
+
+10 scenes × 2 regions × 7×6 ordered style pairs × 3 seeds; rich pass with
+"<region> in the style of <style>" prompts (no guidance/injection —
+:124-127); metric: CLIP similarity of the black-composited region crop vs
+its styled region prompt (:146-167), overall and per-region.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from ..ops.resize import resize_bicubic
+from ..utils.token_maps import get_token_maps
+from .metrics import RunningStats, compose_region
+from .suites import (
+    GUIDANCE_SCALE,
+    NUM_DIFFUSION_STEPS,
+    STYLE_REGIONS,
+    STYLE_SCENES,
+    STYLES,
+)
+
+
+def make_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_seeds", type=int, default=3)
+    p.add_argument("--save_path", default="results/benchmark_style")
+    p.add_argument("--save_img", action="store_true")
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--steps", type=int, default=NUM_DIFFUSION_STEPS)
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--random_weights", action="store_true")
+    p.add_argument("--clip_dir", type=str, default=None,
+                   help="local CLIP ViT-B/32 checkpoint for the scorer")
+    p.add_argument("--with_p2p", action="store_true")
+    return p
+
+
+def run(args, model=None, scorer=None):
+    import jax
+
+    if model is None:
+        from ..pipelines.region_sd import RegionDiffusion
+
+        if args.checkpoint_dir:
+            model = RegionDiffusion.from_pretrained(args.checkpoint_dir)
+        else:
+            model = RegionDiffusion.random_init(seed=0)
+    if scorer is None:
+        from ..utils.clip_score import CLIPScorer
+
+        scorer = CLIPScorer.random_init(seed=0, tokenizer=model.tokenizer)
+
+    p2p = None
+    if args.with_p2p:
+        from ..pipelines.prompt_to_prompt import PromptToPromptPipeline
+
+        p2p = PromptToPromptPipeline(model)
+
+    os.makedirs(args.save_path, exist_ok=True)
+    height = width = 512 if model.unet_cfg.sample_size >= 64 else (
+        model.unet_cfg.sample_size * model.vae_scale_factor
+    )
+    lat_hw = (height // model.vae_scale_factor,
+              width // model.vae_scale_factor)
+
+    overall = {"ours": RunningStats(), "p2p": RunningStats()}
+    per_region = {
+        "ours": [RunningStats(), RunningStats()],
+        "p2p": [RunningStats(), RunningStats()],
+    }
+
+    for seed in range(args.seed, args.seed + args.num_seeds):
+        latent = jax.random.normal(jax.random.PRNGKey(seed), (1, *lat_hw, 4))
+        n_done = 0
+        for scene, regions in zip(STYLE_SCENES, STYLE_REGIONS):
+            _, agg = model.produce_attn_maps(
+                [scene], [""], height=height, width=width,
+                num_inference_steps=args.steps,
+                guidance_scale=GUIDANCE_SCALE, latents=latent, seed=seed,
+            )
+            base_tokens = model.tokenizer._tokenize(scene)
+            ids = []
+            for span in regions:
+                ids.append(np.asarray(
+                    [base_tokens.index(t) + 1
+                     for t in model.tokenizer._tokenize(span)],
+                    dtype=np.int32))
+            masks = get_token_maps(
+                agg, ids, lat_hw, seed, segment_threshold=0.3,
+                num_segments=15,
+            )
+            model.masks = masks
+            masks_px = [
+                np.asarray(resize_bicubic(np.asarray(m), (height, width)))
+                .clip(0, 1)[0]
+                for m in masks
+            ]
+            for s1 in STYLES:
+                for s2 in STYLES:
+                    if s1 == s2:
+                        continue
+                    if args.limit and n_done >= args.limit:
+                        break
+                    n_done += 1
+                    rich = [
+                        f"{regions[0]} in the style of {s1}",
+                        f"{regions[1]} in the style of {s2}",
+                        scene,
+                    ]
+                    img = model.prompt_to_img(
+                        rich, [""], height=height, width=width,
+                        num_inference_steps=args.steps,
+                        guidance_scale=GUIDANCE_SCALE, latents=latent,
+                        use_guidance=False, seed=seed,
+                    )
+                    img_p2p = None
+                    if p2p is not None:
+                        edited = scene.replace(regions[0], rich[0]).replace(
+                            regions[1], rich[1])
+                        img_p2p = p2p.generate(
+                            scene, edited, latents=latent,
+                            num_inference_steps=args.steps,
+                            guidance_scale=GUIDANCE_SCALE, seed=seed,
+                            height=height, width=width,
+                        )
+                    for rid in range(2):
+                        crop = compose_region(img[0], masks_px[rid])
+                        sc = scorer.get_clip_score(crop, rich[rid])
+                        overall["ours"].add(sc)
+                        per_region["ours"][rid].add(sc)
+                        if img_p2p is not None:
+                            crop = compose_region(img_p2p[-1], masks_px[rid])
+                            sc = scorer.get_clip_score(crop, rich[rid])
+                            overall["p2p"].add(sc)
+                            per_region["p2p"][rid].add(sc)
+                    print(
+                        f"N: {len(overall['ours'])}, "
+                        f"ours: {overall['ours'].fmt()}, "
+                        f"p2p: {overall['p2p'].fmt()}"
+                    )
+                if args.limit and n_done >= args.limit:
+                    break
+            if args.limit and n_done >= args.limit:
+                break
+
+    summary = {
+        "ours": {"mean": overall["ours"].mean, "std": overall["ours"].std,
+                 "region1": per_region["ours"][0].mean,
+                 "region2": per_region["ours"][1].mean,
+                 "n": len(overall["ours"])},
+        "p2p": {"mean": overall["p2p"].mean, "std": overall["p2p"].std,
+                "n": len(overall["p2p"])},
+    }
+    with open(os.path.join(args.save_path, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def main(argv=None):
+    args = make_parser().parse_args(argv)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()
