@@ -54,6 +54,12 @@ class UNetControls:
     inject_gate: Optional[jnp.ndarray] = None  # scalar bool
     inject_qk: Optional[dict[str, tuple[jnp.ndarray, jnp.ndarray]]] = None
     inject_resnet: Optional[dict[str, jnp.ndarray]] = None
+    # prompt-to-prompt cross-attention editing: per-layer base probs
+    # [1,H,S,77], a token mapper [77] (edited→base columns) and a per-token
+    # mix weight [77] (alphas × step gate)
+    inject_cross: Optional[dict[str, jnp.ndarray]] = None
+    cross_mapper: Optional[jnp.ndarray] = None
+    cross_mix: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +70,7 @@ class CaptureSpec:
     cross_probs: frozenset = frozenset()  # attn2 names → head-avg probs
     qk: bool = False  # all attn1 (q, k) + resnet features
     resnet: frozenset = frozenset()  # resnet names → hidden feature
+    cross_full: bool = False  # all attn2 full probs (prompt-to-prompt)
 
 
 EMPTY_CAPTURE = CaptureSpec()
@@ -206,9 +213,14 @@ class Attention(nn.Module):
 
         name = self.layer_name
         if is_cross:
-            want_probs = name in capture.cross_probs
+            want_probs = name in capture.cross_probs or capture.cross_full
             tw = controls.token_weights if controls is not None else None
             ts = controls.token_signs if controls is not None else None
+            inj_cross = (
+                controls.inject_cross.get(name)
+                if controls is not None and controls.inject_cross is not None
+                else None
+            )
             if tw is not None and tw.ndim == 1:
                 tw, ts = tw[None], ts[None]
             if tw is not None:
@@ -221,15 +233,29 @@ class Attention(nn.Module):
                 p = p * ts[:, None, None, :]
                 o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
                 probs = p
-            elif want_probs:
+            elif want_probs or inj_cross is not None:
                 o, probs = attention_with_probs(q, k, v, scale)
+                if inj_cross is not None:
+                    # prompt-to-prompt Refine: blend the base pass's probs
+                    # (columns re-indexed through the token mapper) into this
+                    # pass's probs per target token, then recompute out
+                    # (ptp_utils.py AttentionRefine.replace_cross_attention).
+                    base = inj_cross.astype(probs.dtype)
+                    mapped = jnp.take(base, controls.cross_mapper, axis=-1)
+                    mix = controls.cross_mix[None, None, None, :]
+                    probs = mix * mapped + (1.0 - mix) * probs
+                    o = jnp.einsum(
+                        "bhqk,bhkd->bhqd", probs.astype(q.dtype), v
+                    )
             else:
                 o = cross_attention(q, k, v, scale)
                 probs = None
-            if want_probs and aux is not None:
+            if aux is not None and name in capture.cross_probs:
                 # head-average, reference parity (attention_processor.py:541-545
                 # via reshape_batch_dim_to_heads_and_average)
                 aux.setdefault("cross_probs", {})[name] = jnp.mean(probs, axis=1)
+            if aux is not None and capture.cross_full:
+                aux.setdefault("cross_probs_full", {})[name] = probs
         else:
             # ----- self-attention
             inj = (

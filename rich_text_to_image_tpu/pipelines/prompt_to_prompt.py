@@ -1,0 +1,141 @@
+"""Prompt-to-prompt baseline (AttentionRefine), functional.
+
+The reference benchmarks compare against Google's prompt-to-prompt via a
+vendored monkey-patching implementation (utils/ptp_utils.py:285-400,
+:465-674). Here the same AttentionRefine semantics run through the UNet's
+functional controls — no patching:
+
+per step, forward A runs [uncond_b, uncond_e, cond_b] capturing the base
+row's self-attention (Q,K) and full cross-attention probs; forward B runs
+[cond_e] with
+  * self-attention (Q,K) injected while ``i < self_replace_steps · S``
+    (AttentionRefine.forward self branch),
+  * cross-attention probs blended per token: mapper-gathered base probs ×
+    alphas within ``i < cross_replace_steps · S`` (replace_cross_attention).
+
+Defaults mirror the benchmarks: cross_replace_steps=0.8,
+self_replace_steps=0.4 (evaluation/benchmark_color.py:266-270).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.unet import CaptureSpec, UNetControls
+from ..utils.seq_aligner import get_refinement_mapper
+from .region_sd import RegionDiffusion, _plan_arrays
+
+
+class PromptToPromptPipeline:
+    """Wraps a RegionDiffusion model's UNet/VAE/text/scheduler."""
+
+    def __init__(self, model: RegionDiffusion):
+        self.model = model
+        self._jit_cache: dict = {}
+
+    def generate(
+        self,
+        base_prompt: str,
+        edited_prompt: str,
+        cross_replace_steps: float = 0.8,
+        self_replace_steps: float = 0.4,
+        num_inference_steps: int = 41,
+        guidance_scale: float = 8.5,
+        height: int = 512,
+        width: int = 512,
+        latents: Optional[jnp.ndarray] = None,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Returns images [2, H, W, 3] (base, edited)."""
+        m = self.model
+        f = m.vae_scale_factor
+        h, w = height // f, width // f
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed), (1, h, w, m.unet_cfg.in_channels)
+            )
+        embeds = m.get_text_embeds([base_prompt, edited_prompt], [""])
+        # [uncond, base, edited]
+
+        base_ids = m.tokenizer(base_prompt)[0]
+        edit_ids = m.tokenizer(edited_prompt)[0]
+        mapper, alphas = get_refinement_mapper(base_ids, edit_ids)
+
+        plan = m.scheduler.plan(num_inference_steps)
+        S = plan.num_steps
+        cross_mix = np.asarray(
+            [alphas * (i < cross_replace_steps * S) for i in range(S)],
+            dtype=np.float32,
+        )
+        self_gates = np.asarray(
+            [i < self_replace_steps * S for i in range(S)]
+        )
+
+        fn = self._fn((h, w), S)
+        lat = fn(
+            m.unet_params, latents, embeds, _plan_arrays(plan),
+            jnp.float32(guidance_scale),
+            jnp.asarray(cross_mix), jnp.asarray(mapper),
+            jnp.asarray(self_gates),
+        )
+        return m.decode_latents(lat)
+
+    def _fn(self, latent_hw, num_steps):
+        key = (latent_hw, num_steps)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        m = self.model
+        sched = m.scheduler
+        unet = m.unet
+        capture = CaptureSpec(qk=True, cross_full=True)
+
+        @jax.jit
+        def run(params, latents, embeds, plan, g, cross_mix, mapper,
+                self_gates):
+            st0 = sched.init_state((2, *latents.shape[1:]))
+
+            def body(carry, i):
+                lat, st = carry  # [2,h,w,4]: base, edited
+                t = plan.timesteps[i]
+                lat_b, lat_e = lat[0:1], lat[1:2]
+
+                xa = jnp.concatenate([lat_b, lat_e, lat_b], axis=0)
+                ea = jnp.stack([embeds[0], embeds[0], embeds[1]], axis=0)
+                eps_a, aux = unet.apply(params, xa, t, ea, capture=capture)
+                eps_a = eps_a.astype(jnp.float32)
+
+                controls = UNetControls(
+                    inject_gate=self_gates[i],
+                    # self replacement only at ≤16² token maps
+                    # (ptp_utils replace_self_attention's shape gate)
+                    inject_qk={n: (q[2:3], k[2:3])
+                               for n, (q, k) in aux["self_qk"].items()
+                               if q.shape[2] <= 256},
+                    inject_cross={n: p[2:3]
+                                  for n, p in aux["cross_probs_full"].items()},
+                    cross_mapper=mapper,
+                    cross_mix=cross_mix[i],
+                )
+                eps_e, _ = unet.apply(
+                    params, lat_e, t, embeds[2:3], controls=controls
+                )
+                eps_e = eps_e.astype(jnp.float32)
+
+                eps_base = eps_a[0:1] + g * (eps_a[2:3] - eps_a[0:1])
+                eps_edit = eps_a[1:2] + g * (eps_e - eps_a[1:2])
+                eps = jnp.concatenate([eps_base, eps_edit], axis=0)
+                lat, st = sched.step(plan, i, st, eps, lat)
+                return (lat, st), None
+
+            lat0 = jnp.concatenate([latents, latents], axis=0)
+            (lat, _), _ = jax.lax.scan(
+                body, (lat0, st0), jnp.arange(num_steps)
+            )
+            return lat
+
+        self._jit_cache[key] = run
+        return run

@@ -1,0 +1,39 @@
+"""Token-sequence alignment for the prompt-to-prompt baseline.
+
+Builds the Refine mapper: for each position of the *edited* prompt's token
+sequence, the position of the matching token in the *base* sequence (and an
+alpha of 1), or its own position (alpha 0) for tokens that only exist in the
+edit. Matches the behavioral contract of the vendored Needleman-Wunsch
+aligner the reference benchmarks use (utils/seq_aligner.py /
+ptp_utils.py:30-142); implemented here with difflib's longest-contiguous-
+match alignment, which agrees on the word-insertion/replacement edits the
+benchmarks perform.
+"""
+
+from __future__ import annotations
+
+import difflib
+
+import numpy as np
+
+
+def get_refinement_mapper(
+    base_ids: np.ndarray, edited_ids: np.ndarray, max_len: int = 77
+) -> tuple[np.ndarray, np.ndarray]:
+    """(mapper [max_len] int32, alphas [max_len] float32).
+
+    mapper[j] = index into the base sequence whose attention column the
+    edited position j should inherit; alphas[j] = 1 where inherited.
+    """
+    base = np.asarray(base_ids).reshape(-1).tolist()[:max_len]
+    edit = np.asarray(edited_ids).reshape(-1).tolist()[:max_len]
+    sm = difflib.SequenceMatcher(a=base, b=edit, autojunk=False)
+    mapper = np.arange(max_len, dtype=np.int32)
+    alphas = np.zeros(max_len, dtype=np.float32)
+    for block in sm.get_matching_blocks():
+        for k in range(block.size):
+            j = block.b + k
+            if j < max_len:
+                mapper[j] = block.a + k
+                alphas[j] = 1.0
+    return mapper, alphas
