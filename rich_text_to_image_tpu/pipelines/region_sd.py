@@ -139,20 +139,22 @@ class RegionDiffusion:
             text_cfg = dataclasses.replace(
                 text_cfg, vocab_size=len(tokenizer.encoder)
             )
+        from ..models.init_utils import fast_init
+
         unet = UNet2DCondition(unet_cfg, dtype=dtype)
         vae = AutoencoderKL(vae_cfg)
         text = CLIPTextModel(text_cfg)
-        k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
         latent = unet_cfg.sample_size
-        up = unet.init(
-            k0,
+        up = fast_init(
+            unet, seed,
             jnp.zeros((1, latent, latent, unet_cfg.in_channels)),
             jnp.int32(0),
             jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
+            dtype=dtype,
         )
         px = latent * 2 ** (len(vae_cfg.block_out_channels) - 1)
-        vp = vae.init(k1, jnp.zeros((1, px, px, 3)))
-        tp = text.init(k2, jnp.zeros((1, 77), jnp.int32))
+        vp = fast_init(vae, seed + 1, jnp.zeros((1, px, px, 3)))
+        tp = fast_init(text, seed + 2, jnp.zeros((1, 77), jnp.int32))
         return cls(up, vp, tp, tokenizer, unet_cfg, vae_cfg, text_cfg,
                    dtype=dtype, **kw)
 

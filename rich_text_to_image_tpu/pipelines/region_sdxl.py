@@ -152,23 +152,26 @@ class RegionDiffusionXL:
             text_cfg = dataclasses.replace(text_cfg, vocab_size=vocab)
         if vocab > text2_cfg.vocab_size:
             text2_cfg = dataclasses.replace(text2_cfg, vocab_size=vocab)
+        from ..models.init_utils import fast_init
+
         unet = UNet2DCondition(unet_cfg, dtype=dtype)
         vae = AutoencoderKL(vae_cfg)
         text = CLIPTextModel(text_cfg)
         text2 = CLIPTextModel(text2_cfg)
-        k0, k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 4)
         s = unet_cfg.sample_size
         pooled_dim = text2_cfg.projection_dim or text2_cfg.hidden_size
-        up = unet.init(
-            k0, jnp.zeros((1, s, s, unet_cfg.in_channels)), jnp.int32(0),
+        up = fast_init(
+            unet, seed, jnp.zeros((1, s, s, unet_cfg.in_channels)),
+            jnp.int32(0),
             jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
             {"text_embeds": jnp.zeros((1, pooled_dim)),
              "time_ids": jnp.zeros((1, 6))},
+            dtype=dtype,
         )
         px = s * 2 ** (len(vae_cfg.block_out_channels) - 1)
-        vp = vae.init(k1, jnp.zeros((1, px, px, 3)))
-        tp = text.init(k2, jnp.zeros((1, 77), jnp.int32))
-        tp2 = text2.init(k3, jnp.zeros((1, 77), jnp.int32))
+        vp = fast_init(vae, seed + 1, jnp.zeros((1, px, px, 3)))
+        tp = fast_init(text, seed + 2, jnp.zeros((1, 77), jnp.int32))
+        tp2 = fast_init(text2, seed + 3, jnp.zeros((1, 77), jnp.int32))
         return cls(up, vp, tp, tp2, tokenizer, tokenizer_2,
                    unet_cfg, vae_cfg, text_cfg, text2_cfg, dtype=dtype, **kw)
 

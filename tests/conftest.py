@@ -3,9 +3,15 @@
 Sharding/mesh tests run on 8 virtual CPU devices; kernel tests use Pallas
 interpret mode on CPU. Real-TPU runs happen in bench.py, not the test suite.
 
-Note: this environment's TPU plugin (axon) overrides JAX_PLATFORMS via
-``jax.config`` at interpreter startup (sitecustomize), so we must update the
-config *after* importing jax, not just set the env var.
+Environment notes (axon TPU relay):
+  * the TPU plugin registers itself in every python process via
+    sitecustomize and sets jax_platforms via jax.config — so we must both
+    update the config after import AND deregister the backend factory, or
+    the first backend query would *initialize the remote TPU client and
+    claim the single-tenant chip* for the whole pytest run, starving any
+    concurrent benchmark process;
+  * alternatively run CPU-only work with PALLAS_AXON_POOL_IPS= (empty) so
+    the plugin never registers.
 """
 
 import os
@@ -19,6 +25,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env setup)
 from jax._src import xla_bridge as _xb  # noqa: E402
 
+# Drop the axon backend factory so no test can initialize/claim the TPU.
+try:
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
 jax.config.update("jax_platforms", "cpu")
 if _xb.backends_are_initialized():  # pragma: no cover
     from jax.extend.backend import clear_backends
