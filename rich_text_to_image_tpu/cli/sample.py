@@ -50,7 +50,7 @@ def build_model(args):
 def run_sample(model, args, param, save=True):
     """The reference main() flow (sample.py:17-114)."""
     from ..utils import richtext
-    from ..utils.token_maps import get_token_maps
+    from ..utils.token_maps import get_token_maps, host_cpu
     from ..ops.resize import resize_bicubic
 
     run_dir = args.run_dir
@@ -94,10 +94,11 @@ def run_sample(model, args, param, save=True):
     color_obj_atten_all = np.zeros_like(color_obj_masks[-1])
     for m in color_obj_masks[:-1]:
         color_obj_atten_all += m
-    text_format_dict["color_obj_atten"] = [
-        np.asarray(resize_bicubic(np.asarray(m), (height, width)))
-        for m in color_obj_masks[:-1]
-    ]
+    with host_cpu():
+        text_format_dict["color_obj_atten"] = [
+            np.asarray(resize_bicubic(np.asarray(m), (height, width)))
+            for m in color_obj_masks[:-1]
+        ]
     text_format_dict["color_obj_atten_all"] = color_obj_atten_all
     model.masks = get_token_maps(
         agg, region_target_token_ids[:-1], lat_hw, seed,

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..ops.resize import resize_bicubic
 from ..utils.colors import find_nearest_color
-from ..utils.token_maps import get_token_maps
+from ..utils.token_maps import get_token_maps, host_cpu
 from .metrics import RunningStats, color_distances
 from .suites import (
     BASE_PROMPTS,
@@ -100,9 +100,10 @@ def run(args, model=None):
                 segment_threshold=0.25, num_segments=9,
             )
             model.masks = [masks[0], masks[-1]]
-            region_mask_px = np.asarray(
-                resize_bicubic(np.asarray(masks[0]), (height, width))
-            ).clip(0, 1)[0]
+            with host_cpu():
+                region_mask_px = np.asarray(
+                    resize_bicubic(np.asarray(masks[0]), (height, width))
+                ).clip(0, 1)[0]
 
             for color_name, rgb255 in colors.items():
                 if args.limit and n_done >= args.limit:

@@ -15,7 +15,7 @@ import os
 import numpy as np
 
 from ..ops.resize import resize_bicubic
-from ..utils.token_maps import get_token_maps
+from ..utils.token_maps import get_token_maps, host_cpu
 from .metrics import RunningStats, compose_region
 from .suites import (
     GUIDANCE_SCALE,
@@ -97,11 +97,12 @@ def run(args, model=None, scorer=None):
                 num_segments=15,
             )
             model.masks = masks
-            masks_px = [
-                np.asarray(resize_bicubic(np.asarray(m), (height, width)))
-                .clip(0, 1)[0]
-                for m in masks
-            ]
+            with host_cpu():
+                masks_px = [
+                    np.asarray(resize_bicubic(np.asarray(m), (height, width)))
+                    .clip(0, 1)[0]
+                    for m in masks
+                ]
             for s1 in STYLES:
                 for s2 in STYLES:
                     if s1 == s2:

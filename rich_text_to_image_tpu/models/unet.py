@@ -223,30 +223,29 @@ class Attention(nn.Module):
             )
             if tw is not None and tw.ndim == 1:
                 tw, ts = tw[None], ts[None]
-            if tw is not None:
-                # per-batch-row weights enter as log-bias [B,1,1,77]
+            explicit = tw is not None or want_probs or inj_cross is not None
+            if explicit:
+                # post-softmax controls compose in order: exp-domain token
+                # weights (font size) → prompt-to-prompt probs blending →
+                # sign/equalizer scaling (no renormalization).
                 s = jnp.einsum(
                     "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
                 ) * scale
-                s = s + jnp.log(tw)[:, None, None, :]
-                p = jax.nn.softmax(s, axis=-1)
-                p = p * ts[:, None, None, :]
-                o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), v)
-                probs = p
-            elif want_probs or inj_cross is not None:
-                o, probs = attention_with_probs(q, k, v, scale)
+                if tw is not None:
+                    s = s + jnp.log(tw)[:, None, None, :]
+                probs = jax.nn.softmax(s, axis=-1)
                 if inj_cross is not None:
                     # prompt-to-prompt Refine: blend the base pass's probs
                     # (columns re-indexed through the token mapper) into this
-                    # pass's probs per target token, then recompute out
+                    # pass's probs per target token
                     # (ptp_utils.py AttentionRefine.replace_cross_attention).
                     base = inj_cross.astype(probs.dtype)
                     mapped = jnp.take(base, controls.cross_mapper, axis=-1)
                     mix = controls.cross_mix[None, None, None, :]
                     probs = mix * mapped + (1.0 - mix) * probs
-                    o = jnp.einsum(
-                        "bhqk,bhkd->bhqd", probs.astype(q.dtype), v
-                    )
+                if ts is not None:
+                    probs = probs * ts[:, None, None, :]
+                o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
             else:
                 o = cross_attention(q, k, v, scale)
                 probs = None

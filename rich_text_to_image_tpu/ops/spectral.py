@@ -30,7 +30,7 @@ from .kmeans import kmeans
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "n_init", "iters"))
-def spectral_cluster(
+def _spectral_cluster_impl(
     key,
     affinity: jnp.ndarray,  # [N, N], nonnegative
     num_segments: int,
@@ -47,3 +47,22 @@ def spectral_cluster(
     emb = vecs[:, -num_segments:]
     emb = emb * inv_sqrt_d[:, None]  # sklearn diffusion-map recovery
     return kmeans(key, emb, num_segments, n_init=n_init, iters=iters)
+
+
+def spectral_cluster(key, affinity, num_segments: int, n_init: int = 100,
+                     iters: int = 50, device: str = "cpu"):
+    """Spectral clustering; runs on the host CPU backend by default.
+
+    It executes once per sample on a 1024² matrix — sub-second anywhere —
+    but a TPU ``eigh`` lowering is enormous to compile (minutes through a
+    remote-compile relay), so the accelerator buys nothing here. Pass
+    device=None to stay on the default backend.
+    """
+    if device is None:
+        return _spectral_cluster_impl(key, affinity, num_segments,
+                                      n_init=n_init, iters=iters)
+    with jax.default_device(jax.local_devices(backend=device)[0]):
+        return _spectral_cluster_impl(
+            jax.device_put(key), jnp.asarray(affinity), num_segments,
+            n_init=n_init, iters=iters,
+        )

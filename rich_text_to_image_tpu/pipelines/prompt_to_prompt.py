@@ -49,8 +49,16 @@ class PromptToPromptPipeline:
         width: int = 512,
         latents: Optional[jnp.ndarray] = None,
         seed: int = 0,
+        equalizer: Optional[np.ndarray] = None,
     ) -> np.ndarray:
-        """Returns images [2, H, W, 3] (base, edited)."""
+        """Returns images [2, H, W, 3] (base, edited).
+
+        ``equalizer``: optional (77,) post-softmax cross-attention scales for
+        the edited prompt — AttentionReweight (ptp_utils.py:677-686)
+        semantics: probs are scaled WITHOUT renormalization, which maps
+        exactly onto the UNet's ``token_signs`` control with unit
+        ``token_weights``.
+        """
         m = self.model
         f = m.vae_scale_factor
         h, w = height // f, width // f
@@ -75,12 +83,17 @@ class PromptToPromptPipeline:
             [i < self_replace_steps * S for i in range(S)]
         )
 
+        if equalizer is None:
+            eq = np.ones(77, dtype=np.float32)
+        else:
+            eq = np.asarray(equalizer, dtype=np.float32).reshape(77)
+
         fn = self._fn((h, w), S)
         lat = fn(
             m.unet_params, latents, embeds, _plan_arrays(plan),
             jnp.float32(guidance_scale),
             jnp.asarray(cross_mix), jnp.asarray(mapper),
-            jnp.asarray(self_gates),
+            jnp.asarray(self_gates), jnp.asarray(eq),
         )
         return m.decode_latents(lat)
 
@@ -95,7 +108,7 @@ class PromptToPromptPipeline:
 
         @jax.jit
         def run(params, latents, embeds, plan, g, cross_mix, mapper,
-                self_gates):
+                self_gates, equalizer):
             st0 = sched.init_state((2, *latents.shape[1:]))
 
             def body(carry, i):
@@ -110,6 +123,9 @@ class PromptToPromptPipeline:
 
                 controls = UNetControls(
                     inject_gate=self_gates[i],
+                    # AttentionReweight: post-softmax scale, no renorm
+                    token_weights=jnp.ones(77, jnp.float32),
+                    token_signs=equalizer,
                     # self replacement only at ≤16² token maps
                     # (ptp_utils replace_self_attention's shape gate)
                     inject_qk={n: (q[2:3], k[2:3])

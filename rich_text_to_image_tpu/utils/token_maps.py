@@ -22,6 +22,7 @@ as in the reference.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Mapping, Sequence
 
@@ -32,6 +33,19 @@ from ..ops.resize import resize_bicubic
 from ..ops.spectral import spectral_cluster
 
 SEG_RESOLUTION = 32  # the reference's hardcoded segmentation grid
+
+
+def host_cpu():
+    """Context manager pinning small host-side math to the CPU backend.
+
+    Token-map post-processing is sub-millisecond work on tiny arrays; on a
+    remote-compile TPU backend each distinct shape would cost a slow
+    compile round-trip for nothing.
+    """
+    try:
+        return jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:  # no cpu backend registered (unusual)
+        return contextlib.nullcontext()
 
 
 @dataclasses.dataclass
@@ -72,21 +86,23 @@ def get_token_maps(
     affinity = np.asarray(agg.self_sum, dtype=np.float32)
     res = int(round(np.sqrt(affinity.shape[0])))  # 32 for standard sizes
     assert affinity.shape == (res * res, res * res), affinity.shape
-    key = jax.random.PRNGKey(seed)
-    clusters = np.asarray(
-        spectral_cluster(key, affinity, num_segments, n_init=n_init)
-    ).reshape(res, res)
+    with host_cpu():
+        key = jax.random.PRNGKey(seed)
+        clusters = np.asarray(
+            spectral_cluster(key, affinity, num_segments, n_init=n_init)
+        ).reshape(res, res)
 
-    # ---- cross-attention maps → 32², averaged over layers
-    cross = np.zeros((res, res, 77), dtype=np.float32)
-    for r, m in agg.cross_sums.items():
-        m = np.asarray(m, dtype=np.float32).reshape(r, r, 77)
-        if r != res:
-            m = np.asarray(
-                resize_bicubic(m.transpose(2, 0, 1), (res, res), antialias=True)
-            ).transpose(1, 2, 0)
-        cross += m
-    cross /= max(agg.cross_layer_count, 1)
+        # ---- cross-attention maps → 32², averaged over layers
+        cross = np.zeros((res, res, 77), dtype=np.float32)
+        for r, m in agg.cross_sums.items():
+            m = np.asarray(m, dtype=np.float32).reshape(r, r, 77)
+            if r != res:
+                m = np.asarray(
+                    resize_bicubic(m.transpose(2, 0, 1), (res, res),
+                                   antialias=True)
+                ).transpose(1, 2, 0)
+            cross += m
+        cross /= max(agg.cross_layer_count, 1)
 
     # ---- per-span min-max normalization (attention_utils.py:296-304)
     normalized_span_maps = []
@@ -115,7 +131,8 @@ def get_token_maps(
     # ---- resize to latent res, clamp, normalize to sum 1
     h, w = latent_hw
     stacked = np.stack(foreground)  # [n+1, res, res]
-    resized = np.asarray(resize_bicubic(stacked, (h, w), antialias=True))
+    with host_cpu():
+        resized = np.asarray(resize_bicubic(stacked, (h, w), antialias=True))
     resized = np.clip(resized, 0.0, 1.0)
     resized = resized / (resized.sum(axis=0, keepdims=True) + 1e-8)
     masks = [resized[i][None] for i in range(resized.shape[0])]
