@@ -44,7 +44,9 @@ def main():
         "noise_index": args.seed,
         "negative_prompt": "",
     }
+    t0 = time.time()
     model = RegionDiffusion.random_init(seed=0)
+    print(f"[bench] model init (host): {time.time()-t0:.1f}s", file=sys.stderr)
 
     # warmup: compile every program (plain scan, token maps, rich scan, decode)
     t0 = time.time()

@@ -47,6 +47,9 @@ def make_parser():
     p.add_argument("--random_weights", action="store_true")
     p.add_argument("--with_p2p", action="store_true",
                    help="also run the prompt-to-prompt baseline")
+    p.add_argument("--load_previous", action="store_true",
+                   help="re-score previously saved images instead of "
+                        "regenerating (reference benchmark_color.py:280-282)")
     return p
 
 
@@ -112,17 +115,26 @@ def run(args, model=None):
                 rgb = np.asarray(rgb255, np.float64) / 255.0
                 nearest = find_nearest_color(rgb)
                 prompts = [f"{nearest} {object_name}", text_prompt]
-                fmt = dict(fmt_base)
-                fmt["target_RGB"] = [rgb.astype(np.float32)]
-                fmt["color_obj_atten"] = [region_mask_px[None]]
-                fmt["color_obj_atten_all"] = np.asarray(masks[0])
-                img_ours = model.prompt_to_img(
-                    prompts, [""], height=height, width=width,
-                    num_inference_steps=args.steps,
-                    guidance_scale=GUIDANCE_SCALE, latents=latent,
-                    text_format_dict=fmt, use_guidance=True,
-                    inject_selfattn=0.2, inject_background=0.3, seed=seed,
-                )
+                ours_name = os.path.join(
+                    args.save_path,
+                    f"ours_{object_name}_{color_name}_{seed}.png")
+                if args.load_previous:
+                    from PIL import Image
+
+                    img_ours = np.asarray(Image.open(ours_name))[None]
+                else:
+                    fmt = dict(fmt_base)
+                    fmt["target_RGB"] = [rgb.astype(np.float32)]
+                    fmt["color_obj_atten"] = [region_mask_px[None]]
+                    fmt["color_obj_atten_all"] = np.asarray(masks[0])
+                    img_ours = model.prompt_to_img(
+                        prompts, [""], height=height, width=width,
+                        num_inference_steps=args.steps,
+                        guidance_scale=GUIDANCE_SCALE, latents=latent,
+                        text_format_dict=fmt, use_guidance=True,
+                        inject_selfattn=0.2, inject_background=0.3,
+                        seed=seed,
+                    )
                 mn, av = color_distances(
                     img_base[0], region_mask_px, rgb, color_name)
                 stats["plain_min"].add(mn)
@@ -144,12 +156,10 @@ def run(args, model=None):
                         img_p2p[-1], region_mask_px, rgb, color_name)
                     stats["p2p_min"].add(mn)
                     stats["p2p_avg"].add(av)
-                if args.save_img:
+                if args.save_img and not args.load_previous:
                     from PIL import Image
 
-                    Image.fromarray(img_ours[0]).save(os.path.join(
-                        args.save_path,
-                        f"ours_{object_name}_{color_name}_{seed}.png"))
+                    Image.fromarray(img_ours[0]).save(ours_name)
             print(
                 f"Min dis. N: {len(stats['ours_min'])}, "
                 f"plain: {stats['plain_min'].fmt()}, "

@@ -39,6 +39,9 @@ def make_parser():
     p.add_argument("--clip_dir", type=str, default=None,
                    help="local CLIP ViT-B/32 checkpoint for the scorer")
     p.add_argument("--with_p2p", action="store_true")
+    p.add_argument("--load_previous", action="store_true",
+                   help="re-score previously saved images instead of "
+                        "regenerating (reference benchmark_style.py)")
     return p
 
 
@@ -115,12 +118,25 @@ def run(args, model=None, scorer=None):
                         f"{regions[1]} in the style of {s2}",
                         scene,
                     ]
-                    img = model.prompt_to_img(
-                        rich, [""], height=height, width=width,
-                        num_inference_steps=args.steps,
-                        guidance_scale=GUIDANCE_SCALE, latents=latent,
-                        use_guidance=False, seed=seed,
-                    )
+                    base_name = "_".join(regions)
+                    ours_name = os.path.join(
+                        args.save_path,
+                        f"ours_{base_name}_{s1}_{s2}_{seed}.png")
+                    if args.load_previous:
+                        from PIL import Image
+
+                        img = np.asarray(Image.open(ours_name))[None]
+                    else:
+                        img = model.prompt_to_img(
+                            rich, [""], height=height, width=width,
+                            num_inference_steps=args.steps,
+                            guidance_scale=GUIDANCE_SCALE, latents=latent,
+                            use_guidance=False, seed=seed,
+                        )
+                        if args.save_img:
+                            from PIL import Image
+
+                            Image.fromarray(img[0]).save(ours_name)
                     img_p2p = None
                     if p2p is not None:
                         edited = scene.replace(regions[0], rich[0]).replace(
