@@ -34,6 +34,7 @@ def torch_randn_latents(seed: int, batch: int, channels: int, h: int, w: int):
 def load_latents_npy(path: str):
     """Load a saved reference latent (.npy, NCHW or NHWC) as NHWC."""
     arr = np.load(path)
-    if arr.ndim == 4 and arr.shape[1] in (4, 8) and arr.shape[-1] not in (4, 8):
+    # latent channel dim is 4: NCHW iff axis 1 is 4 and axis -1 is not
+    if arr.ndim == 4 and arr.shape[1] == 4 and arr.shape[-1] != 4:
         arr = arr.transpose(0, 2, 3, 1)
     return arr.astype(np.float32)

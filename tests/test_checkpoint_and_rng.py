@@ -1,0 +1,57 @@
+"""Orbax checkpoint roundtrip + torch-RNG parity latents."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from rich_text_to_image_tpu.models import config as cfg
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from rich_text_to_image_tpu.models.checkpoint import (
+        load_params,
+        save_pipeline,
+    )
+    from rich_text_to_image_tpu.pipelines.region_sd import RegionDiffusion
+
+    pipe = RegionDiffusion.random_init(
+        seed=0, unet_cfg=cfg.TINY_UNET, vae_cfg=cfg.TINY_VAE,
+        text_cfg=cfg.TINY_TEXT,
+    )
+    save_pipeline(str(tmp_path / "ckpt"), pipe)
+    restored = load_params(str(tmp_path / "ckpt"))
+    assert set(restored) == {"unet", "vae", "text"}
+    for a, b in zip(jax.tree.leaves(restored["unet"]),
+                    jax.tree.leaves(pipe.unet_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_randn_latents_matches_torch():
+    torch = pytest.importorskip("torch")
+    from rich_text_to_image_tpu.utils.torch_rng import torch_randn_latents
+
+    lat = torch_randn_latents(6, 1, 4, 8, 8)
+    assert lat.shape == (1, 8, 8, 4)
+    torch.manual_seed(6)
+    want = torch.randn(1, 4, 8, 8).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(lat, want)
+    # deterministic across calls
+    np.testing.assert_array_equal(lat, torch_randn_latents(6, 1, 4, 8, 8))
+
+
+def test_load_latents_npy_layouts(tmp_path):
+    from rich_text_to_image_tpu.utils.torch_rng import load_latents_npy
+
+    nchw = np.random.RandomState(0).randn(1, 4, 8, 8).astype(np.float32)
+    p = tmp_path / "lat.npy"
+    np.save(p, nchw)
+    out = load_latents_npy(str(p))
+    assert out.shape == (1, 8, 8, 4)
+    np.testing.assert_array_equal(out, nchw.transpose(0, 2, 3, 1))
+
+    nhwc = nchw.transpose(0, 2, 3, 1)
+    np.save(p, nhwc)
+    out2 = load_latents_npy(str(p))
+    assert out2.shape == (1, 8, 8, 4)
