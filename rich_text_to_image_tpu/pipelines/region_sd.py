@@ -172,26 +172,28 @@ class RegionDiffusion:
 
     @functools.cached_property
     def _text_apply(self):
+        # params are jit ARGUMENTS (closure constants would be baked into
+        # the HLO — hundreds of MB through a remote-compile relay)
         @jax.jit
-        def run(ids):
-            out = self.text_encoder.apply(self.text_params, ids)
+        def run(params, ids):
+            out = self.text_encoder.apply(params, ids)
             return out["last_hidden_state"]
 
-        return run
+        return functools.partial(run, self.text_params)
 
     # ------------------------------------------------------------ VAE utils
     @functools.cached_property
     def _decode(self):
         @jax.jit
-        def run(latents):
+        def run(params, latents):
             imgs = self.vae.apply(
-                self.vae_params,
+                params,
                 latents.astype(jnp.float32) / self.vae_cfg.scaling_factor,
                 method=self.vae.decode,
             )
             return jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
 
-        return run
+        return functools.partial(run, self.vae_params)
 
     def decode_latents(self, latents) -> np.ndarray:
         """latents [B,h,w,4] → uint8 images [B,H,W,3]."""

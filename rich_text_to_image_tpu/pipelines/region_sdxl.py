@@ -178,23 +178,22 @@ class RegionDiffusionXL:
     # ----------------------------------------------------------------- text
     @functools.cached_property
     def _text_apply(self):
+        eos1 = self.tokenizer.eos_token_id
+        eos2 = self.tokenizer_2.eos_token_id
+
+        # params are jit ARGUMENTS (closure constants would be baked into
+        # the HLO — hundreds of MB through a remote-compile relay)
         @jax.jit
-        def run(ids, ids2):
-            o1 = self.text_encoder.apply(
-                self.text_params, ids,
-                eos_token_id=self.tokenizer.eos_token_id,
-            )
-            o2 = self.text_encoder_2.apply(
-                self.text2_params, ids2,
-                eos_token_id=self.tokenizer_2.eos_token_id,
-            )
+        def run(p1, p2, ids, ids2):
+            o1 = self.text_encoder.apply(p1, ids, eos_token_id=eos1)
+            o2 = self.text_encoder_2.apply(p2, ids2, eos_token_id=eos2)
             embeds = jnp.concatenate(
                 [o1["penultimate"], o2["penultimate"]], axis=-1
             )
             pooled = o2.get("projected", o2["pooled"])
             return embeds, pooled
 
-        return run
+        return functools.partial(run, self.text_params, self.text2_params)
 
     def encode_prompt(self, prompts, negative_prompt=""):
         """[uncond, prompts...] embeds [N+1,77,2048] + pooled [N+1,P].
@@ -231,15 +230,15 @@ class RegionDiffusionXL:
     @functools.cached_property
     def _decode(self):
         @jax.jit
-        def run(latents):
+        def run(params, latents):
             imgs = self.vae.apply(
-                self.vae_params,
+                params,
                 latents.astype(jnp.float32) / self.vae_cfg.scaling_factor,
                 method=self.vae.decode,
             )
             return jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
 
-        return run
+        return functools.partial(run, self.vae_params)
 
     def decode_latents(self, latents) -> np.ndarray:
         imgs = np.asarray(self._decode(latents))

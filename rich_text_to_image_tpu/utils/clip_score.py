@@ -48,18 +48,18 @@ class CLIPScorer:
 
     @functools.cached_property
     def _embed(self):
+        eos = self.tokenizer.eos_token_id
+
         @jax.jit
-        def run(pixels, ids):
-            v = self.vision_model.apply(self.vision_params, pixels)["projected"]
-            t = self.text_model.apply(
-                self.text_params, ids, eos_token_id=self.tokenizer.eos_token_id
-            )
+        def run(vp, tp, pixels, ids):
+            v = self.vision_model.apply(vp, pixels)["projected"]
+            t = self.text_model.apply(tp, ids, eos_token_id=eos)
             t = t.get("projected", t["pooled"])
             v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
             t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
             return jnp.einsum("bd,bd->b", v, t)
 
-        return run
+        return functools.partial(run, self.vision_params, self.text_params)
 
     def get_clip_score(self, image, text: str) -> float:
         """image: [H,W,3] or [B,H,W,3] uint8/float; returns mean cosine."""
