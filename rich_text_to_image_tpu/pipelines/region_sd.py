@@ -318,6 +318,72 @@ class RegionDiffusion:
         self._jit_cache[key] = run
         return run
 
+    # ------------------------------------------------- batched plain txt2img
+    def text_to_images(
+        self,
+        prompts: Sequence[str],
+        negative_prompt: str = "",
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Throughput mode: N prompts in one CFG-batched scan (no capture).
+
+        The reference has no batched path (batch hard-coded to 1,
+        region_diffusion_sdxl.py:698-701); this is the TPU-native
+        images/min surface — batch the MXU, shard over dp if a mesh is
+        active.
+        """
+        prompts = list(prompts)
+        N = len(prompts)
+        embeds = self.get_text_embeds(prompts, [negative_prompt])  # [N+1,...]
+        uncond = jnp.tile(embeds[0:1], (N, 1, 1))
+        cond = embeds[1:]
+        f = self.vae_scale_factor
+        h, w = height // f, width // f
+        latents = jax.random.normal(
+            jax.random.PRNGKey(seed), (N, h, w, self.unet_cfg.in_channels)
+        )
+        plan = self.scheduler.plan(num_inference_steps)
+        fn = self._batch_fn((h, w), plan.num_steps, N)
+        lat = fn(
+            self.unet_params, latents,
+            jnp.concatenate([uncond, cond], axis=0),
+            _plan_arrays(plan), jnp.float32(guidance_scale),
+        )
+        return self.decode_latents(lat)
+
+    def _batch_fn(self, latent_hw, num_steps, N):
+        key = ("batch", latent_hw, num_steps, N)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        sched = self.scheduler
+        unet = self.unet
+
+        @jax.jit
+        def run(params, latents, embeds, plan, g):
+            st0 = sched.init_state(latents.shape)
+
+            def body(carry, i):
+                lat, st = carry
+                t = plan.timesteps[i]
+                x = jnp.concatenate([lat, lat], axis=0)
+                eps, _ = unet.apply(params, x, t, embeds)
+                eps = eps.astype(jnp.float32)
+                e = eps[:N] + g * (eps[N:] - eps[:N])
+                lat, st = sched.step(plan, i, st, e, lat)
+                return (lat, st), None
+
+            (lat, _), _ = jax.lax.scan(
+                body, (latents, st0), jnp.arange(num_steps)
+            )
+            return lat
+
+        self._jit_cache[key] = run
+        return run
+
     # ------------------------------------------------------------- rich pass
     def prompt_to_img(
         self,
