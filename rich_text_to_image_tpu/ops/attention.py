@@ -45,12 +45,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, blk_k: int):
     """One (batch*head, q-tile): online-softmax over K tiles.
 
     K/V blocks are VMEM-resident for the whole row; scores live only in
-    registers/VMEM. Accumulation in fp32.
+    registers/VMEM. Matmul inputs stay in the storage dtype (bf16 → MXU
+    fast path) with fp32 accumulation via preferred_element_type; softmax
+    statistics are fp32.
     """
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    q = q_ref[0]  # (BQ, D), storage dtype
     blk_q, d = q.shape
     skv = k_ref.shape[1]
     num_k = skv // blk_k
+    in_dtype = q.dtype
 
     acc = jnp.zeros((blk_q, d), dtype=jnp.float32)
     m = jnp.full((blk_q, 1), _NEG_INF, dtype=jnp.float32)
@@ -58,14 +61,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, blk_k: int):
 
     def body(j, carry):
         acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(j * blk_k, blk_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(j * blk_k, blk_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(j * blk_k, blk_k), :]
+        v_blk = v_ref[0, pl.ds(j * blk_k, blk_k), :]
         s = jax.lax.dot_general(
             q,
             k_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (BQ, BK)
+        )  # (BQ, BK) fp32
         if kv_len % blk_k != 0:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * blk_k
             s = jnp.where(col < kv_len, s, _NEG_INF)
@@ -74,7 +77,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, blk_k: int):
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p,
+            p.astype(in_dtype),
             v_blk,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -112,7 +115,7 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 256,
+    block_q: int | None = None,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -121,11 +124,17 @@ def flash_attention(
     Sq/Skv need not be tile-aligned (padded internally; padded KV columns are
     masked out). D is zero-padded to a lane multiple (zero K-pad adds 0 to
     logits, zero V-pad yields sliced-away output columns).
+
+    block_q default is swept on v5e: narrow heads (D≤48, i.e. SD-1.5's
+    64²-res layers) peak at 512 (85% of the lane-padded ceiling); wider
+    heads at 2048 (91% for SDXL's D=64).
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
+    if block_q is None:
+        block_q = 512 if d <= 48 else 2048
 
     dp = _round_up(d, 128)
     blk_q = min(block_q, _round_up(sq, 8))
