@@ -69,4 +69,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # still emit a parseable record on failure
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "sd15_512_richtext_e2e_images_per_min",
+            "value": 0.0,
+            "unit": "images/min/chip",
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
