@@ -29,6 +29,12 @@ BASELINE_IMG_PER_MIN = 1.94  # estimated diffusers-on-A100, see module docstring
 def main():
     import numpy as np
 
+    import jax
+
+    # persistent compilation cache: warmup is dominated by (remote) compiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rtxi_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from rich_text_to_image_tpu.cli.sample import make_parser, run_sample
     from rich_text_to_image_tpu.pipelines.region_sd import RegionDiffusion
 
