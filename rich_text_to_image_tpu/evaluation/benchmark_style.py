@@ -58,7 +58,10 @@ def run(args, model=None, scorer=None):
     if scorer is None:
         from ..utils.clip_score import CLIPScorer
 
-        scorer = CLIPScorer.random_init(seed=0, tokenizer=model.tokenizer)
+        if args.clip_dir:
+            scorer = CLIPScorer.from_pretrained(args.clip_dir)
+        else:
+            scorer = CLIPScorer.random_init(seed=0, tokenizer=model.tokenizer)
 
     p2p = None
     if args.with_p2p:

@@ -194,6 +194,52 @@ def convert_clip_text(source, cfg: CLIPTextConfig, target_tree, dtype=jnp.float3
     return _unflatten(out)
 
 
+# ---------------------------------------------------------- CLIP vision rule
+def convert_clip_vision(source, target_tree, dtype=jnp.float32):
+    """HF CLIPVisionModelWithProjection state dict → our flax tree."""
+    src = dict(source)
+
+    def rule(path: tuple[str, ...]) -> str:
+        parts = list(path[:-1])
+        leaf = path[-1]
+        name = ".".join(parts)
+        name = re.sub(r"layers_(\d+)\.self_attn",
+                      r"encoder.layers.\1.self_attn", name)
+        name = re.sub(r"layers_(\d+)\.layer_norm",
+                      r"encoder.layers.\1.layer_norm", name)
+        name = re.sub(r"layers_(\d+)\.fc(\d)", r"encoder.layers.\1.mlp.fc\2",
+                      name)
+        if name == "patch_embedding":
+            return "vision_model.embeddings.patch_embedding.weight"
+        if name == "visual_projection":
+            return "visual_projection.weight"
+        suffix = {"kernel": "weight", "bias": "bias", "scale": "weight"}[leaf]
+        return f"vision_model.{name}.{suffix}"
+
+    # bare params (not module leaves)
+    src["vision_model.class_embedding"] = src[
+        "vision_model.embeddings.class_embedding"
+    ]
+    src["vision_model.position_embedding"] = src[
+        "vision_model.embeddings.position_embedding.weight"
+    ]
+    flat = _flatten(target_tree)
+    out = {}
+    for path, leaf in flat.items():
+        if path[-1] in ("class_embedding", "position_embedding"):
+            name = f"vision_model.{path[-1]}"
+            kind = "direct"
+        else:
+            name = rule(path)
+            kind = _leaf_kind(path, np.shape(src[name]))
+        arr = _to_jax(src[name], kind, dtype)
+        if arr.shape != leaf.shape:
+            raise ValueError(f"shape mismatch at {path}: {arr.shape} vs "
+                             f"{leaf.shape}")
+        out[path] = arr
+    return _unflatten(out)
+
+
 # ------------------------------------------------------------- file loading
 def load_safetensors_dir(path: str) -> dict[str, np.ndarray]:
     """Load every *.safetensors under ``path`` into one numpy state dict."""

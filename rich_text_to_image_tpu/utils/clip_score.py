@@ -30,6 +30,40 @@ class CLIPScorer:
         self.image_size = vision_cfg.image_size
 
     @classmethod
+    def from_pretrained(cls, clip_dir: str):
+        """Load from a local HF clip-vit-base-patch32-layout directory
+        (model.safetensors holding both towers + projections)."""
+        import jax.numpy as jnp
+
+        from ..models.convert import (
+            convert_clip_text,
+            convert_clip_vision,
+            load_safetensors_dir,
+        )
+        from ..models.config import CLIP_VIT_B32_VISION, CLIPTextConfig
+
+        sd = load_safetensors_dir(clip_dir)
+        text_cfg = CLIPTextConfig(
+            hidden_size=512, intermediate_size=2048, num_hidden_layers=12,
+            num_attention_heads=8, projection_dim=512,
+        )  # CLIP ViT-B/32 text tower
+        vision_cfg = CLIP_VIT_B32_VISION
+        tokenizer = CLIPTokenizer.from_pretrained(clip_dir)
+        text = CLIPTextModel(text_cfg)
+        vision = CLIPVisionModel(vision_cfg)
+        t_tree = jax.eval_shape(
+            lambda: text.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 77), jnp.int32)))
+        v_tree = jax.eval_shape(
+            lambda: vision.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, vision_cfg.image_size, vision_cfg.image_size,
+                           3))))
+        tp = {"params": convert_clip_text(sd, text_cfg, t_tree["params"])}
+        vp = {"params": convert_clip_vision(sd, v_tree["params"])}
+        return cls(tp, vp, tokenizer, text_cfg, vision_cfg)
+
+    @classmethod
     def random_init(cls, seed: int = 0,
                     text_cfg: CLIPTextConfig | None = None,
                     vision_cfg: CLIPVisionConfig | None = None,

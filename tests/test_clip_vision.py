@@ -16,52 +16,18 @@ torch = pytest.importorskip("torch")
 
 
 def _convert_vision(sd):
-    """HF CLIPVisionModelWithProjection state dict → our param tree."""
-    import re
+    """Via the library converter (models/convert.py)."""
+    from rich_text_to_image_tpu.models.convert import convert_clip_vision
 
-    out = {"params": {}}
-    p = out["params"]
-
-    def put(path, arr):
-        node = p
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = jnp.asarray(arr)
-
-    put(("patch_embedding", "kernel"),
-        sd["vision_model.embeddings.patch_embedding.weight"]
-        .transpose(2, 3, 1, 0))
-    put(("class_embedding",), sd["vision_model.embeddings.class_embedding"])
-    put(("position_embedding",),
-        sd["vision_model.embeddings.position_embedding.weight"])
-    put(("pre_layrnorm", "scale"), sd["vision_model.pre_layrnorm.weight"])
-    put(("pre_layrnorm", "bias"), sd["vision_model.pre_layrnorm.bias"])
-    put(("post_layernorm", "scale"), sd["vision_model.post_layernorm.weight"])
-    put(("post_layernorm", "bias"), sd["vision_model.post_layernorm.bias"])
-    put(("visual_projection", "kernel"),
-        sd["visual_projection.weight"].transpose(1, 0))
-    n_layers = max(
-        int(m.group(1)) + 1
-        for k in sd
-        if (m := re.match(r"vision_model\.encoder\.layers\.(\d+)\.", k))
+    cfg_tiny = CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, projection_dim=16,
     )
-    for i in range(n_layers):
-        pre = f"vision_model.encoder.layers.{i}."
-        for ours, theirs in [
-            (("self_attn", "q_proj"), "self_attn.q_proj"),
-            (("self_attn", "k_proj"), "self_attn.k_proj"),
-            (("self_attn", "v_proj"), "self_attn.v_proj"),
-            (("self_attn", "out_proj"), "self_attn.out_proj"),
-            (("fc1",), "mlp.fc1"),
-            (("fc2",), "mlp.fc2"),
-        ]:
-            put((f"layers_{i}", *ours, "kernel"),
-                sd[pre + theirs + ".weight"].transpose(1, 0))
-            put((f"layers_{i}", *ours, "bias"), sd[pre + theirs + ".bias"])
-        for ln in ("layer_norm1", "layer_norm2"):
-            put((f"layers_{i}", ln, "scale"), sd[pre + ln + ".weight"])
-            put((f"layers_{i}", ln, "bias"), sd[pre + ln + ".bias"])
-    return out
+    model = CLIPVisionModel(cfg_tiny)
+    tree = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    )
+    return {"params": convert_clip_vision(sd, tree["params"])}
 
 
 def test_vs_transformers():
