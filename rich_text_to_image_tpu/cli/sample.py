@@ -20,8 +20,6 @@ import numpy as np
 
 
 def build_model(args):
-    import jax.numpy as jnp
-
     if args.model in ("SD",):
         from ..pipelines.region_sd import RegionDiffusion
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .clip import _ACTS, _Block
+from .clip import _Block
 from .config import CLIPTextConfig, CLIPVisionConfig
 
 # OpenAI CLIP preprocessing constants (clip_utils.py:15-17)
@@ -74,8 +74,6 @@ def preprocess_images(images, image_size: int = 224):
     (reference clip_utils.py:11-18 resizes then center-crops; for square
     inputs — our generated images — the crop is identity).
     """
-    import numpy as np
-
     from ..ops.resize import resize_bicubic
 
     x = jnp.asarray(images, jnp.float32)

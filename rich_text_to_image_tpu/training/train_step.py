@@ -8,7 +8,6 @@ collectives inserted by GSPMD over ICI.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
