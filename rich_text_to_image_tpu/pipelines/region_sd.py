@@ -72,6 +72,7 @@ class RegionDiffusion:
         text_cfg: cfgs.CLIPTextConfig = cfgs.SD15_TEXT,
         dtype=jnp.bfloat16,
         agg_start_step: int = 10,  # reference: accumulate when n_maps > 10
+        mesh=None,
     ):
         self.unet = UNet2DCondition(unet_cfg, dtype=dtype)
         self.vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
@@ -88,6 +89,37 @@ class RegionDiffusion:
         self.vae_scale_factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
         self.masks: list[np.ndarray] = []  # [R+1] of [1,h,w] (parity attr)
         self._jit_cache: dict[Any, Any] = {}
+        self.mesh = mesh
+        if mesh is not None:
+            self.use_mesh(mesh)
+
+    def use_mesh(self, mesh, tp_axis: str = "tp"):
+        """Place the pipeline on a device mesh.
+
+        Params shard by parallel.mesh rules (wide weight dims on tp); the
+        batched UNet rows (CFG rows, region fan-out, text_to_images batch)
+        shard over dp via sharding constraints inside the jitted scans —
+        SURVEY §7.6's region-DP, introduced (the reference is single-GPU).
+        Clears the jit cache so programs re-specialize under the mesh.
+        """
+        from ..parallel.mesh import shard_params
+
+        self.mesh = mesh
+        self.unet_params = jax.device_put(
+            self.unet_params, shard_params(self.unet_params, mesh, tp_axis)
+        )
+        self._jit_cache.clear()
+        return self
+
+    def _constrain_batch(self, x):
+        """Shard a batched UNet input over dp when a mesh is active."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("dp"))
+        )
 
     # ------------------------------------------------------------ factories
     @classmethod
@@ -272,6 +304,7 @@ class RegionDiffusion:
         )
         agg_start = self.agg_start_step
         unet = self.unet
+        constrain = self._constrain_batch
 
         @jax.jit
         def run(params, latents, embeds, plan, g):
@@ -285,7 +318,7 @@ class RegionDiffusion:
             def body(carry, i):
                 lat, st, self_sum, cross = carry
                 t = plan.timesteps[i]
-                x = jnp.concatenate([lat, lat], axis=0)
+                x = constrain(jnp.concatenate([lat, lat], axis=0))
                 eps, aux = unet.apply(
                     params, x, t, embeds, capture=capture
                 )
@@ -361,6 +394,7 @@ class RegionDiffusion:
             return self._jit_cache[key]
         sched = self.scheduler
         unet = self.unet
+        constrain = self._constrain_batch
 
         @jax.jit
         def run(params, latents, embeds, plan, g):
@@ -369,7 +403,7 @@ class RegionDiffusion:
             def body(carry, i):
                 lat, st = carry
                 t = plan.timesteps[i]
-                x = jnp.concatenate([lat, lat], axis=0)
+                x = constrain(jnp.concatenate([lat, lat], axis=0))
                 eps, _ = unet.apply(params, x, t, embeds)
                 eps = eps.astype(jnp.float32)
                 e = eps[:N] + g * (eps[N:] - eps[:N])
@@ -538,6 +572,7 @@ class RegionDiffusion:
         unet = self.unet
         vae = self.vae
         vae_cfg = self.vae_cfg
+        constrain = self._constrain_batch
         R = n_styles - 1  # span regions (masks[:-1])
 
         capture_ref = CaptureSpec(
@@ -588,7 +623,7 @@ class RegionDiffusion:
                         inject_gate=gate, inject_qk=inj_qk,
                         inject_resnet=inj_res,
                     )
-                    xb = jnp.tile(lat, (R, 1, 1, 1))
+                    xb = constrain(jnp.tile(lat, (R, 1, 1, 1)))
                     eb = embeds[1 : 1 + R]
                     eps_b, _ = unet.apply(params, xb, t, eb,
                                           controls=controls_b)
@@ -598,7 +633,7 @@ class RegionDiffusion:
                     eps_spans = eps_b
                     eps_ref = eps_a[2:3] + ctl["g"] * (eps_a[3:4] - eps_a[2:3])
                 else:
-                    x = jnp.concatenate([lat] * (R + 2), axis=0)
+                    x = constrain(jnp.concatenate([lat] * (R + 2), axis=0))
                     controls = UNetControls(
                         token_weights=ctl["tw_rows"], token_signs=ctl["ts_rows"]
                     ) if use_tw else None
