@@ -58,6 +58,7 @@ class RegionDiffusionXL:
         dtype=jnp.bfloat16,
         force_zeros_for_empty_prompt: bool = True,
         agg_start_step: int = 10,
+        mesh=None,
     ):
         self.unet = UNet2DCondition(unet_cfg, dtype=dtype)
         self.vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
@@ -79,6 +80,30 @@ class RegionDiffusionXL:
         self.default_sample_size = unet_cfg.sample_size
         self.masks: list[np.ndarray] = []
         self._jit_cache: dict[Any, Any] = {}
+        self.mesh = mesh
+        if mesh is not None:
+            self.use_mesh(mesh)
+
+    def use_mesh(self, mesh, tp_axis: str = "tp"):
+        """Shard params (tp rules) + batched UNet rows (dp) over a mesh;
+        see RegionDiffusion.use_mesh."""
+        from ..parallel.mesh import shard_params
+
+        self.mesh = mesh
+        self.unet_params = jax.device_put(
+            self.unet_params, shard_params(self.unet_params, mesh, tp_axis)
+        )
+        self._jit_cache.clear()
+        return self
+
+    def _constrain_batch(self, x):
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("dp"))
+        )
 
     # ------------------------------------------------------------ factories
     @classmethod
@@ -371,6 +396,7 @@ class RegionDiffusionXL:
             cross_probs=frozenset(n for _, ns in cross_items for n in ns),
         )
         agg_start = self.agg_start_step
+        constrain = self._constrain_batch
 
         @jax.jit
         def run(params, latents, embeds, pooled, time_ids, plan, g):
@@ -384,7 +410,7 @@ class RegionDiffusionXL:
                 lat, self_sum, cross = carry
                 t = plan.timesteps[i]
                 x = jnp.concatenate([lat, lat], axis=0)
-                x = sched.scale_model_input(plan, i, x)
+                x = constrain(sched.scale_model_input(plan, i, x))
                 added = {
                     "text_embeds": pooled,
                     "time_ids": jnp.tile(time_ids, (2, 1)),
@@ -507,6 +533,7 @@ class RegionDiffusionXL:
         unet = self.unet
         vae = self.vae
         vae_cfg = self.vae_cfg
+        constrain = self._constrain_batch
         R = n_styles - 1
 
         capture_ref = CaptureSpec(
@@ -554,7 +581,7 @@ class RegionDiffusionXL:
                               for n, (q, k) in aux["self_qk"].items()}
                     inj_res = {n: f[3:4]
                                for n, f in aux["resnet_hidden"].items()}
-                    xb = jnp.tile(x_in, (R, 1, 1, 1))
+                    xb = constrain(jnp.tile(x_in, (R, 1, 1, 1)))
                     eps_b, _ = unet.apply(
                         params, xb, t, embeds[1:1 + R],
                         added_cond={
@@ -571,7 +598,7 @@ class RegionDiffusionXL:
                     eps_spans = eps_b
                     eps_ref = eps_a[2:3] + ctl["g"] * (eps_a[3:4] - eps_a[2:3])
                 else:
-                    x = jnp.concatenate([x_in] * (R + 2), axis=0)
+                    x = constrain(jnp.concatenate([x_in] * (R + 2), axis=0))
                     controls = UNetControls(
                         token_weights=ctl["tw_rows"],
                         token_signs=ctl["ts_rows"],
