@@ -50,6 +50,8 @@ class PromptToPromptPipeline:
         latents: Optional[jnp.ndarray] = None,
         seed: int = 0,
         equalizer: Optional[np.ndarray] = None,
+        blend_words: Optional[tuple] = None,
+        blend_threshold: float = 0.3,
     ) -> np.ndarray:
         """Returns images [2, H, W, 3] (base, edited).
 
@@ -58,6 +60,12 @@ class PromptToPromptPipeline:
         semantics: probs are scaled WITHOUT renormalization, which maps
         exactly onto the UNet's ``token_signs`` control with unit
         ``token_weights``.
+
+        ``blend_words``: optional (words_base, words_edit) — LocalBlend
+        (ptp_utils.py:465-493): after each scheduler step, the edited latent
+        is blended toward the base latent outside the union mask built from
+        the 16²-res cross-attention maps of the given words (max-pooled,
+        max-normalized, thresholded).
         """
         m = self.model
         f = m.vae_scale_factor
@@ -88,17 +96,32 @@ class PromptToPromptPipeline:
         else:
             eq = np.asarray(equalizer, dtype=np.float32).reshape(77)
 
-        fn = self._fn((h, w), S)
+        if blend_words is not None:
+            from ..utils.seq_aligner import get_word_inds
+
+            alpha_b = np.zeros(77, np.float32)
+            alpha_e = np.zeros(77, np.float32)
+            wb, we = blend_words
+            for word in ([wb] if isinstance(wb, str) else wb):
+                alpha_b[get_word_inds(base_prompt, word, m.tokenizer)] = 1.0
+            for word in ([we] if isinstance(we, str) else we):
+                alpha_e[get_word_inds(edited_prompt, word, m.tokenizer)] = 1.0
+        else:
+            alpha_b = alpha_e = np.zeros(77, np.float32)
+
+        fn = self._fn((h, w), S, blend_words is not None)
         lat = fn(
             m.unet_params, latents, embeds, _plan_arrays(plan),
             jnp.float32(guidance_scale),
             jnp.asarray(cross_mix), jnp.asarray(mapper),
             jnp.asarray(self_gates), jnp.asarray(eq),
+            jnp.asarray(alpha_b), jnp.asarray(alpha_e),
+            jnp.float32(blend_threshold),
         )
         return m.decode_latents(lat)
 
-    def _fn(self, latent_hw, num_steps):
-        key = (latent_hw, num_steps)
+    def _fn(self, latent_hw, num_steps, local_blend: bool = False):
+        key = (latent_hw, num_steps, local_blend)
         if key in self._jit_cache:
             return self._jit_cache[key]
         m = self.model
@@ -106,10 +129,37 @@ class PromptToPromptPipeline:
         unet = m.unet
         capture = CaptureSpec(qk=True, cross_full=True)
 
+        from ..utils.registries import attn_layer_resolutions
+
+        res_map = attn_layer_resolutions(m.unet_cfg, latent_hw)
+        blend_res = max(r for r in set(res_map.values())
+                        if r <= 16) if res_map else 16
+        blend_layers = tuple(
+            sorted(n for n, r in res_map.items()
+                   if n.endswith(".attn2") and r == blend_res)
+        )
+
+        def _blend_mask(probs_list, alpha, hw):
+            """LocalBlend mask from 16²-res cross maps (ptp_utils.py:467-480)."""
+            # probs_list entries [1,H,S,77] → mean over layers & heads
+            maps = jnp.mean(
+                jnp.stack([jnp.mean(p, axis=1) for p in probs_list]), axis=0
+            )[0]  # [S,77]
+            sel = (maps * alpha[None, :]).sum(-1)
+            r = blend_res
+            sel = sel.reshape(1, r, r, 1)
+            pooled = jax.lax.reduce_window(
+                sel, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1),
+                "SAME",
+            )
+            mask = jax.image.resize(pooled, (1, *hw, 1), method="nearest")
+            return mask / (jnp.max(mask) + 1e-12)
+
         @jax.jit
         def run(params, latents, embeds, plan, g, cross_mix, mapper,
-                self_gates, equalizer):
+                self_gates, equalizer, alpha_b, alpha_e, blend_thresh):
             st0 = sched.init_state((2, *latents.shape[1:]))
+            hw = latents.shape[1:3]
 
             def body(carry, i):
                 lat, st = carry  # [2,h,w,4]: base, edited
@@ -136,8 +186,10 @@ class PromptToPromptPipeline:
                     cross_mapper=mapper,
                     cross_mix=cross_mix[i],
                 )
-                eps_e, _ = unet.apply(
-                    params, lat_e, t, embeds[2:3], controls=controls
+                eps_e, aux_e = unet.apply(
+                    params, lat_e, t, embeds[2:3], controls=controls,
+                    capture=CaptureSpec(cross_full=True) if local_blend
+                    else CaptureSpec(),
                 )
                 eps_e = eps_e.astype(jnp.float32)
 
@@ -145,6 +197,22 @@ class PromptToPromptPipeline:
                 eps_edit = eps_a[1:2] + g * (eps_e - eps_a[1:2])
                 eps = jnp.concatenate([eps_base, eps_edit], axis=0)
                 lat, st = sched.step(plan, i, st, eps, lat)
+
+                if local_blend:
+                    # LocalBlend step callback: keep the edit inside the
+                    # word-attention mask, base content elsewhere
+                    mb = _blend_mask(
+                        [aux["cross_probs_full"][n][2:3]
+                         for n in blend_layers], alpha_b, hw)
+                    me = _blend_mask(
+                        [aux_e["cross_probs_full"][n] for n in blend_layers],
+                        alpha_e, hw)
+                    mask = (
+                        (mb > blend_thresh) | (me > blend_thresh)
+                    ).astype(lat.dtype)
+                    lat_b2, lat_e2 = lat[0:1], lat[1:2]
+                    lat_e2 = lat_b2 + mask * (lat_e2 - lat_b2)
+                    lat = jnp.concatenate([lat_b2, lat_e2], axis=0)
                 return (lat, st), None
 
             lat0 = jnp.concatenate([latents, latents], axis=0)

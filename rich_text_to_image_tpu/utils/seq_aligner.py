@@ -17,6 +17,20 @@ import difflib
 import numpy as np
 
 
+def get_word_inds(prompt: str, word: str, tokenizer) -> np.ndarray:
+    """Token positions (1-based, after BOS) of every occurrence of ``word``
+    in ``prompt`` (ptp_utils.get_word_inds contract)."""
+    words = prompt.replace(",", " ,").split(" ")
+    out = []
+    pos = 1  # BOS occupies 0
+    for w in words:
+        toks = tokenizer._tokenize(w)
+        if w.strip(".,!?").lower() == word.strip(".,!?").lower():
+            out.extend(range(pos, pos + len(toks)))
+        pos += len(toks)
+    return np.asarray(out, dtype=np.int32)
+
+
 def get_refinement_mapper(
     base_ids: np.ndarray, edited_ids: np.ndarray, max_len: int = 77
 ) -> tuple[np.ndarray, np.ndarray]:
