@@ -52,6 +52,7 @@ class PromptToPromptPipeline:
         equalizer: Optional[np.ndarray] = None,
         blend_words: Optional[tuple] = None,
         blend_threshold: float = 0.3,
+        controller: str = "refine",  # "refine" | "replace"
     ) -> np.ndarray:
         """Returns images [2, H, W, 3] (base, edited).
 
@@ -77,9 +78,17 @@ class PromptToPromptPipeline:
         embeds = m.get_text_embeds([base_prompt, edited_prompt], [""])
         # [uncond, base, edited]
 
-        base_ids = m.tokenizer(base_prompt)[0]
-        edit_ids = m.tokenizer(edited_prompt)[0]
-        mapper, alphas = get_refinement_mapper(base_ids, edit_ids)
+        if controller == "replace":
+            from ..utils.seq_aligner import get_replacement_mapper
+
+            mapper = get_replacement_mapper(
+                base_prompt, edited_prompt, m.tokenizer
+            )
+            alphas = np.ones(77, dtype=np.float32)
+        else:
+            base_ids = m.tokenizer(base_prompt)[0]
+            edit_ids = m.tokenizer(edited_prompt)[0]
+            mapper, alphas = get_refinement_mapper(base_ids, edit_ids)
 
         plan = m.scheduler.plan(num_inference_steps)
         S = plan.num_steps

@@ -31,6 +31,38 @@ def get_word_inds(prompt: str, word: str, tokenizer) -> np.ndarray:
     return np.asarray(out, dtype=np.int32)
 
 
+def get_replacement_mapper(
+    base_prompt: str, edited_prompt: str, tokenizer, max_len: int = 77
+) -> np.ndarray:
+    """AttentionReplace mapper for word-swap edits (ptp get_replacement_mapper).
+
+    Both prompts must have the same word count; swapped words must tokenize
+    to equal lengths (the original redistributes fractionally for unequal
+    lengths — out of scope, raises instead). Returns a [max_len] column
+    mapper usable as ``cross_mapper`` with full mix.
+    """
+    bw = base_prompt.split(" ")
+    ew = edited_prompt.split(" ")
+    if len(bw) != len(ew):
+        raise ValueError("AttentionReplace requires equal word counts; "
+                         "use AttentionRefine for insertions/deletions")
+    mapper = np.arange(max_len, dtype=np.int32)
+    pos_b = pos_e = 1
+    for wb, we in zip(bw, ew):
+        nb = len(tokenizer._tokenize(wb))
+        ne = len(tokenizer._tokenize(we))
+        if wb != we and nb != ne:
+            raise ValueError(
+                f"swapped words {wb!r}→{we!r} tokenize to different lengths "
+                f"({nb} vs {ne}); use AttentionRefine"
+            )
+        for k in range(min(ne, max_len - pos_e)):
+            mapper[pos_e + k] = pos_b + min(k, nb - 1)
+        pos_b += nb
+        pos_e += ne
+    return mapper
+
+
 def get_refinement_mapper(
     base_ids: np.ndarray, edited_ids: np.ndarray, max_len: int = 77
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -73,3 +73,30 @@ def test_local_blend_runs_and_constrains(pipe):
     np.testing.assert_allclose(
         imgs_full[1].astype(int), imgs_nb[1].astype(int), atol=2
     )
+
+
+def test_replacement_mapper():
+    tok = CLIPTokenizer.byte_level()
+    from rich_text_to_image_tpu.utils.seq_aligner import get_replacement_mapper
+
+    # equal-length word swap: "cat" -> "dog" (both 3 byte-tokens)
+    mapper = get_replacement_mapper("a cat runs", "a dog runs", tok)
+    # position of "a" unchanged; dog tokens map onto cat's positions
+    assert mapper[1] == 1
+    np.testing.assert_array_equal(mapper[2:5], [2, 3, 4])
+    # unequal token lengths refuse
+    with pytest.raises(ValueError):
+        get_replacement_mapper("a cat runs", "a elephant runs", tok)
+    with pytest.raises(ValueError):
+        get_replacement_mapper("a cat", "a big cat", tok)
+
+
+def test_p2p_replace_controller(pipe):
+    px = pipe.unet_cfg.sample_size * pipe.vae_scale_factor
+    p2p = PromptToPromptPipeline(pipe)
+    imgs = p2p.generate(
+        "a cat runs", "a dog runs", num_inference_steps=6,
+        height=px, width=px, seed=5, controller="replace",
+    )
+    assert imgs.shape == (2, px, px, 3)
+    assert np.isfinite(imgs.astype(np.float64)).all()
