@@ -27,3 +27,7 @@ __all__ = [
     "EulerDiscreteScheduler",
     "PNDMScheduler",
 ]
+
+from .dpmsolver import DPMSolverMultistepScheduler  # noqa: E402
+
+__all__.append("DPMSolverMultistepScheduler")
