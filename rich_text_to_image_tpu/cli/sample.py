@@ -19,14 +19,39 @@ import time
 import numpy as np
 
 
+def _make_scheduler(name):
+    if name is None:
+        return None
+    from ..schedulers import (
+        DDIMScheduler,
+        DPMSolverMultistepScheduler,
+        EulerDiscreteScheduler,
+        PNDMScheduler,
+    )
+
+    return {
+        "pndm": PNDMScheduler,
+        "ddim": DDIMScheduler,
+        "dpm": DPMSolverMultistepScheduler,
+        "euler": EulerDiscreteScheduler,
+    }[name]()
+
+
 def build_model(args):
+    sched = _make_scheduler(getattr(args, "scheduler", None))
     if args.model in ("SD",):
         from ..pipelines.region_sd import RegionDiffusion
 
         if args.checkpoint_dir:
-            return RegionDiffusion.from_pretrained(args.checkpoint_dir)
-        if args.random_weights:
-            return RegionDiffusion.random_init(seed=0)
+            model = RegionDiffusion.from_pretrained(args.checkpoint_dir)
+        elif args.random_weights:
+            model = RegionDiffusion.random_init(seed=0)
+        else:
+            model = None
+        if model is not None:
+            if sched is not None:
+                model.scheduler = sched
+            return model
         raise SystemExit(
             "no weights: pass --checkpoint_dir <local SD-1.5 dir> "
             "or --random_weights"
@@ -35,9 +60,15 @@ def build_model(args):
         from ..pipelines.region_sdxl import RegionDiffusionXL
 
         if args.checkpoint_dir:
-            return RegionDiffusionXL.from_pretrained(args.checkpoint_dir)
-        if args.random_weights:
-            return RegionDiffusionXL.random_init(seed=0)
+            model = RegionDiffusionXL.from_pretrained(args.checkpoint_dir)
+        elif args.random_weights:
+            model = RegionDiffusionXL.random_init(seed=0)
+        else:
+            model = None
+        if model is not None:
+            if sched is not None:
+                model.scheduler = sched
+            return model
         raise SystemExit(
             "no weights: pass --checkpoint_dir <local SDXL dir> "
             "or --random_weights"
@@ -157,6 +188,11 @@ def make_parser():
     parser.add_argument("--inject_background", type=float, default=0.0)
     parser.add_argument("--checkpoint_dir", type=str, default=None)
     parser.add_argument("--random_weights", action="store_true")
+    parser.add_argument(
+        "--scheduler", type=str, default=None,
+        choices=["pndm", "ddim", "dpm", "euler"],
+        help="override the pipeline default (SD: pndm, SDXL: euler)",
+    )
     return parser
 
 

@@ -73,6 +73,7 @@ class RegionDiffusion:
         dtype=jnp.bfloat16,
         agg_start_step: int = 10,  # reference: accumulate when n_maps > 10
         mesh=None,
+        scheduler=None,
     ):
         self.unet = UNet2DCondition(unet_cfg, dtype=dtype)
         self.vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
@@ -83,7 +84,7 @@ class RegionDiffusion:
         self.tokenizer = tokenizer
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
-        self.scheduler = PNDMScheduler()
+        self.scheduler = scheduler if scheduler is not None else PNDMScheduler()
         self.dtype = dtype
         self.agg_start_step = agg_start_step
         self.vae_scale_factor = 2 ** (len(vae_cfg.block_out_channels) - 1)
@@ -276,6 +277,7 @@ class RegionDiffusion:
                 jax.random.PRNGKey(seed), (1, h, w, self.unet_cfg.in_channels)
             )
         plan = self.scheduler.plan(num_inference_steps)
+        latents = latents * getattr(plan, "init_noise_sigma", 1.0)
         seg_res, self_layers, cross_by_res = self._capture_layout((h, w))
         fn = self._plain_fn((h, w), plan.num_steps, seg_res, self_layers,
                             tuple(sorted(cross_by_res.items())))
@@ -318,7 +320,8 @@ class RegionDiffusion:
             def body(carry, i):
                 lat, st, self_sum, cross = carry
                 t = plan.timesteps[i]
-                x = constrain(jnp.concatenate([lat, lat], axis=0))
+                x = constrain(sched.scale_model_input(
+                    plan, i, jnp.concatenate([lat, lat], axis=0)))
                 eps, aux = unet.apply(
                     params, x, t, embeds, capture=capture
                 )
@@ -380,6 +383,7 @@ class RegionDiffusion:
             jax.random.PRNGKey(seed), (N, h, w, self.unet_cfg.in_channels)
         )
         plan = self.scheduler.plan(num_inference_steps)
+        latents = latents * getattr(plan, "init_noise_sigma", 1.0)
         fn = self._batch_fn((h, w), plan.num_steps, N)
         lat = fn(
             self.unet_params, latents,
@@ -403,7 +407,8 @@ class RegionDiffusion:
             def body(carry, i):
                 lat, st = carry
                 t = plan.timesteps[i]
-                x = constrain(jnp.concatenate([lat, lat], axis=0))
+                x = constrain(sched.scale_model_input(
+                    plan, i, jnp.concatenate([lat, lat], axis=0)))
                 eps, _ = unet.apply(params, x, t, embeds)
                 eps = eps.astype(jnp.float32)
                 e = eps[:N] + g * (eps[N:] - eps[:N])
@@ -484,6 +489,7 @@ class RegionDiffusion:
             )
 
         plan = self.scheduler.plan(num_inference_steps)
+        latents = latents * getattr(plan, "init_noise_sigma", 1.0)
         S = plan.num_steps
         # per-step host gates (all static arrays; see region_diffusion.py:104-105)
         inject_gates = plan.timesteps.astype(np.float64) > (
@@ -593,10 +599,12 @@ class RegionDiffusion:
                 lat = lat_all[0:1]
                 t = plan.timesteps[i]
                 gate = ctl["inject_gates"][i]
+                lat_in = sched.scale_model_input(plan, i, lat)
 
                 if run_reference:
                     lat_ref = lat_all[1:2]
-                    xa = jnp.concatenate([lat, lat, lat_ref, lat_ref], 0)
+                    ref_in = sched.scale_model_input(plan, i, lat_ref)
+                    xa = jnp.concatenate([lat_in, lat_in, ref_in, ref_in], 0)
                     ea = jnp.stack(
                         [embeds[0], embeds[-1], embeds[0], embeds[-1]], 0
                     )
@@ -623,7 +631,7 @@ class RegionDiffusion:
                         inject_gate=gate, inject_qk=inj_qk,
                         inject_resnet=inj_res,
                     )
-                    xb = constrain(jnp.tile(lat, (R, 1, 1, 1)))
+                    xb = constrain(jnp.tile(lat_in, (R, 1, 1, 1)))
                     eb = embeds[1 : 1 + R]
                     eps_b, _ = unet.apply(params, xb, t, eb,
                                           controls=controls_b)
@@ -633,7 +641,7 @@ class RegionDiffusion:
                     eps_spans = eps_b
                     eps_ref = eps_a[2:3] + ctl["g"] * (eps_a[3:4] - eps_a[2:3])
                 else:
-                    x = constrain(jnp.concatenate([lat] * (R + 2), axis=0))
+                    x = constrain(jnp.concatenate([lat_in] * (R + 2), axis=0))
                     controls = UNetControls(
                         token_weights=ctl["tw_rows"], token_signs=ctl["ts_rows"]
                     ) if use_tw else None

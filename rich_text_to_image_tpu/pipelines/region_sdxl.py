@@ -59,6 +59,7 @@ class RegionDiffusionXL:
         force_zeros_for_empty_prompt: bool = True,
         agg_start_step: int = 10,
         mesh=None,
+        scheduler=None,
     ):
         self.unet = UNet2DCondition(unet_cfg, dtype=dtype)
         self.vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
@@ -72,7 +73,8 @@ class RegionDiffusionXL:
         self.tokenizer_2 = tokenizer_2
         self.unet_cfg = unet_cfg
         self.vae_cfg = vae_cfg
-        self.scheduler = EulerDiscreteScheduler()
+        self.scheduler = (scheduler if scheduler is not None
+                          else EulerDiscreteScheduler())
         self.dtype = dtype
         self.force_zeros_for_empty_prompt = force_zeros_for_empty_prompt
         self.agg_start_step = agg_start_step
@@ -325,7 +327,7 @@ class RegionDiffusionXL:
             latents = jax.random.normal(
                 jax.random.PRNGKey(seed), (1, h, w, self.unet_cfg.in_channels)
             )
-        latents = latents * plan.init_noise_sigma
+        latents = latents * getattr(plan, "init_noise_sigma", 1.0)
 
         if not run_rich_text:
             seg_res, self_layers, cross_by_res = self._capture_layout((h, w))
