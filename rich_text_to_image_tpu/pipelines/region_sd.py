@@ -734,18 +734,13 @@ class RegionDiffusion:
 
 
 def _plan_arrays(plan):
-    """Move plan arrays into a dict pytree of jnp arrays (device constants)."""
-    return dataclasses.replace(
-        plan,
-        timesteps=jnp.asarray(plan.timesteps),
-        alpha_prod_t=jnp.asarray(plan.alpha_prod_t),
-        alpha_prod_t_prev=jnp.asarray(plan.alpha_prod_t_prev),
-        ets_coeffs=jnp.asarray(plan.ets_coeffs),
-        mo_coeff=jnp.asarray(plan.mo_coeff),
-        append_ets=jnp.asarray(plan.append_ets),
-        use_cur_sample=jnp.asarray(plan.use_cur_sample),
-        store_cur_sample=jnp.asarray(plan.store_cur_sample),
-    )
+    """Device-ify every array field of a scheduler plan dataclass."""
+    updates = {
+        f.name: jnp.asarray(getattr(plan, f.name))
+        for f in dataclasses.fields(plan)
+        if isinstance(getattr(plan, f.name), (np.ndarray, jnp.ndarray))
+    }
+    return dataclasses.replace(plan, **updates)
 
 
 def _init_shapes_sd(unet, vae, text):

@@ -7,13 +7,20 @@ framework surface: the driver baseline configs name "50-step DDIM" runs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .common import make_alphas_cumprod
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("timesteps", "alpha_prod_t", "alpha_prod_t_prev"),
+    meta_fields=("num_steps",),
+)
 @dataclasses.dataclass(frozen=True)
 class DDIMPlan:
     timesteps: np.ndarray  # (S,) int32
