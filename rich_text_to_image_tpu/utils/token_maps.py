@@ -65,6 +65,13 @@ class AttnAggregates:
     self_count: int
     cross_sums: Mapping[int, np.ndarray]
     cross_layer_count: int
+    # memo: (seed, num_segments, n_init) → cluster labels. The reference
+    # flow segments the SAME affinity twice per sample (color spans, then
+    # region spans — sample.py:77,90) with identical seeds; sklearn would
+    # redo the clustering, we reuse it.
+    cluster_cache: dict = dataclasses.field(
+        default_factory=dict, compare=False, repr=False
+    )
 
 
 def get_token_maps(
@@ -86,11 +93,15 @@ def get_token_maps(
     affinity = np.asarray(agg.self_sum, dtype=np.float32)
     res = int(round(np.sqrt(affinity.shape[0])))  # 32 for standard sizes
     assert affinity.shape == (res * res, res * res), affinity.shape
+    cache_key = (seed, num_segments, n_init)
+    clusters = agg.cluster_cache.get(cache_key)
     with host_cpu():
-        key = jax.random.PRNGKey(seed)
-        clusters = np.asarray(
-            spectral_cluster(key, affinity, num_segments, n_init=n_init)
-        ).reshape(res, res)
+        if clusters is None:
+            key = jax.random.PRNGKey(seed)
+            clusters = np.asarray(
+                spectral_cluster(key, affinity, num_segments, n_init=n_init)
+            ).reshape(res, res)
+            agg.cluster_cache[cache_key] = clusters
 
         # ---- cross-attention maps → 32², averaged over layers
         cross = np.zeros((res, res, 77), dtype=np.float32)

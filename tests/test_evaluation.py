@@ -115,3 +115,31 @@ def test_benchmark_style_tiny_run():
     summary = bs.run(args, model=model, scorer=scorer)
     assert summary["ours"]["n"] == 2  # two regions scored
     assert np.isfinite(summary["ours"]["mean"])
+
+
+def test_token_map_cluster_cache():
+    import numpy as np
+
+    from rich_text_to_image_tpu.utils.token_maps import (
+        AttnAggregates,
+        get_token_maps,
+    )
+
+    rng = np.random.RandomState(0)
+    A = rng.rand(64, 64).astype(np.float32)
+    agg = AttnAggregates(
+        self_sum=A, self_count=2,
+        cross_sums={8: rng.rand(64, 77).astype(np.float32)},
+        cross_layer_count=1,
+    )
+    m1 = get_token_maps(agg, [np.asarray([3])], (8, 8), seed=1,
+                        num_segments=3, n_init=3)
+    assert (1, 3, 3) in agg.cluster_cache
+    cached = agg.cluster_cache[(1, 3, 3)].copy()
+    m2 = get_token_maps(agg, [np.asarray([5])], (8, 8), seed=1,
+                        num_segments=3, n_init=3)
+    np.testing.assert_array_equal(agg.cluster_cache[(1, 3, 3)], cached)
+    # different seed → new clustering entry
+    get_token_maps(agg, [np.asarray([5])], (8, 8), seed=2,
+                   num_segments=3, n_init=3)
+    assert (2, 3, 3) in agg.cluster_cache
