@@ -235,12 +235,21 @@ class Attention(nn.Module):
                     s = s + jnp.log(tw)[:, None, None, :]
                 probs = jax.nn.softmax(s, axis=-1)
                 if inj_cross is not None:
-                    # prompt-to-prompt Refine: blend the base pass's probs
-                    # (columns re-indexed through the token mapper) into this
-                    # pass's probs per target token
-                    # (ptp_utils.py AttentionRefine.replace_cross_attention).
+                    # prompt-to-prompt editing: blend the base pass's probs,
+                    # re-indexed through the token mapper, into this pass's
+                    # probs per target token. A 1-D mapper is Refine's column
+                    # gather (ptp AttentionRefine.replace_cross_attention); a
+                    # 2-D mapper is Replace's matrix form supporting
+                    # fractional redistribution for unequal-length word swaps
+                    # (ptp AttentionReplace + seq_aligner.py:153-187).
                     base = inj_cross.astype(probs.dtype)
-                    mapped = jnp.take(base, controls.cross_mapper, axis=-1)
+                    if controls.cross_mapper.ndim == 2:
+                        mapped = jnp.einsum(
+                            "bhqw,wn->bhqn", base,
+                            controls.cross_mapper.astype(base.dtype),
+                        )
+                    else:
+                        mapped = jnp.take(base, controls.cross_mapper, axis=-1)
                     mix = controls.cross_mix[None, None, None, :]
                     probs = mix * mapped + (1.0 - mix) * probs
                 if ts is not None:

@@ -31,35 +31,69 @@ def get_word_inds(prompt: str, word: str, tokenizer) -> np.ndarray:
     return np.asarray(out, dtype=np.int32)
 
 
+def _word_inds_by_place(prompt: str, place: int, tokenizer) -> np.ndarray:
+    """Token positions (1-based, after BOS) of the ``place``-th
+    whitespace-word of ``prompt`` (ptp seq_aligner.get_word_inds with an int
+    word_place, utils/seq_aligner.py:130-150)."""
+    words = prompt.split(" ")
+    out = []
+    pos = 1  # BOS occupies 0
+    for i, w in enumerate(words):
+        n = len(tokenizer._tokenize(w))
+        if i == place:
+            out.extend(range(pos, pos + n))
+        pos += n
+    return np.asarray(out, dtype=np.int64)
+
+
 def get_replacement_mapper(
     base_prompt: str, edited_prompt: str, tokenizer, max_len: int = 77
 ) -> np.ndarray:
-    """AttentionReplace mapper for word-swap edits (ptp get_replacement_mapper).
+    """AttentionReplace mapper for word-swap edits.
 
-    Both prompts must have the same word count; swapped words must tokenize
-    to equal lengths (the original redistributes fractionally for unequal
-    lengths — out of scope, raises instead). Returns a [max_len] column
-    mapper usable as ``cross_mapper`` with full mix.
+    Returns a ``[max_len, max_len]`` float32 matrix ``M`` with
+    ``edited_probs = base_probs @ M`` — the semantics of the reference's
+    vendored ptp mapper (utils/seq_aligner.py:153-187): positions outside
+    swapped words map identically; an equal-length swap maps source tokens to
+    target tokens pairwise; an *unequal*-length swap redistributes every
+    source token's column fractionally, weight ``1/len(target)`` per target
+    token. The post-swap tail reproduces the reference's ``mapper[j, j] = 1``
+    indexing verbatim (quirk parity: rows stay diagonal-aligned to the edited
+    index even when lengths diverged).
     """
-    bw = base_prompt.split(" ")
-    ew = edited_prompt.split(" ")
-    if len(bw) != len(ew):
+    words_x = base_prompt.split(" ")
+    words_y = edited_prompt.split(" ")
+    if len(words_x) != len(words_y):
         raise ValueError("AttentionReplace requires equal word counts; "
                          "use AttentionRefine for insertions/deletions")
-    mapper = np.arange(max_len, dtype=np.int32)
-    pos_b = pos_e = 1
-    for wb, we in zip(bw, ew):
-        nb = len(tokenizer._tokenize(wb))
-        ne = len(tokenizer._tokenize(we))
-        if wb != we and nb != ne:
-            raise ValueError(
-                f"swapped words {wb!r}→{we!r} tokenize to different lengths "
-                f"({nb} vs {ne}); use AttentionRefine"
-            )
-        for k in range(min(ne, max_len - pos_e)):
-            mapper[pos_e + k] = pos_b + min(k, nb - 1)
-        pos_b += nb
-        pos_e += ne
+    inds_replace = [i for i in range(len(words_y)) if words_y[i] != words_x[i]]
+    inds_source = [_word_inds_by_place(base_prompt, i, tokenizer)
+                   for i in inds_replace]
+    inds_target = [_word_inds_by_place(edited_prompt, i, tokenizer)
+                   for i in inds_replace]
+    mapper = np.zeros((max_len, max_len), dtype=np.float32)
+    i = j = 0
+    cur = 0
+    while i < max_len and j < max_len:
+        if cur < len(inds_source) and inds_source[cur][0] == i:
+            src, tgt = inds_source[cur], inds_target[cur]
+            if len(src) == len(tgt):
+                mapper[src, tgt] = 1.0
+            else:
+                ratio = 1.0 / len(tgt)
+                for t in tgt:
+                    mapper[src, t] = ratio
+            cur += 1
+            i += len(src)
+            j += len(tgt)
+        elif cur < len(inds_source):
+            mapper[i, j] = 1.0
+            i += 1
+            j += 1
+        else:
+            mapper[j, j] = 1.0
+            i += 1
+            j += 1
     return mapper
 
 

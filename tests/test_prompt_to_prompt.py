@@ -74,3 +74,107 @@ def test_p2p_identical_prompts_match(pipe):
         imgs2[0].astype(np.float64) - imgs2[1].astype(np.float64)
     ).mean()
     assert diff_same < 0.3 * diff_edit, (diff_same, diff_edit)
+
+
+# ---------------------------------------------------------------------------
+# AttentionReplace mapper — differential vs a literal port of the reference
+# (utils/seq_aligner.py:130-187) used ONLY as a test oracle.
+# ---------------------------------------------------------------------------
+
+def _oracle_word_inds(text, word_place, tokenizer):
+    """Literal numpy port of reference get_word_inds (int word_place):
+    walks decoded per-token strings, char-counting against the split words."""
+    split_text = text.split(" ")
+    word_place = [word_place]
+    out = []
+    ids = tokenizer.encode(text)
+    words_encode = [tokenizer.decode([i]).strip("#") for i in ids][1:-1]
+    cur_len, ptr = 0, 0
+    for i in range(len(words_encode)):
+        cur_len += len(words_encode[i])
+        if ptr in word_place:
+            out.append(i + 1)
+        if cur_len >= len(split_text[ptr]):
+            ptr += 1
+            cur_len = 0
+    return np.array(out)
+
+
+def _oracle_replacement_mapper(x, y, tokenizer, max_len=77):
+    """Literal numpy port of reference get_replacement_mapper_."""
+    words_x = x.split(" ")
+    words_y = y.split(" ")
+    inds_replace = [i for i in range(len(words_y)) if words_y[i] != words_x[i]]
+    inds_source = [_oracle_word_inds(x, i, tokenizer) for i in inds_replace]
+    inds_target = [_oracle_word_inds(y, i, tokenizer) for i in inds_replace]
+    mapper = np.zeros((max_len, max_len))
+    i = j = 0
+    cur_inds = 0
+    while i < max_len and j < max_len:
+        if cur_inds < len(inds_source) and inds_source[cur_inds][0] == i:
+            inds_source_, inds_target_ = inds_source[cur_inds], inds_target[cur_inds]
+            if len(inds_source_) == len(inds_target_):
+                mapper[inds_source_, inds_target_] = 1
+            else:
+                ratio = 1 / len(inds_target_)
+                for i_t in inds_target_:
+                    mapper[inds_source_, i_t] = ratio
+            cur_inds += 1
+            i += len(inds_source_)
+            j += len(inds_target_)
+        elif cur_inds < len(inds_source):
+            mapper[i, j] = 1
+            i += 1
+            j += 1
+        else:
+            mapper[j, j] = 1
+            i += 1
+            j += 1
+    return mapper.astype(np.float32)
+
+
+@pytest.mark.parametrize("base,edit", [
+    ("a cat on a table", "a dog on a table"),      # equal token lengths (3,3)
+    ("a cat on a table", "a tiger on a table"),    # 3 -> 5 tokens (fractional)
+    ("a zebra in snow", "a ox in snow"),           # 5 -> 2 tokens (fractional)
+    ("a cat and a dog here", "a pig and a hen here"),  # two swaps
+    ("same words here", "same words here"),        # no-op edit
+])
+def test_replacement_mapper_matches_reference_oracle(base, edit):
+    from rich_text_to_image_tpu.models.tokenizer import CLIPTokenizer
+    from rich_text_to_image_tpu.utils.seq_aligner import get_replacement_mapper
+
+    tok = CLIPTokenizer.byte_level()
+    ours = get_replacement_mapper(base, edit, tok, max_len=77)
+    oracle = _oracle_replacement_mapper(base, edit, tok, max_len=77)
+    np.testing.assert_array_equal(ours, oracle)
+
+
+def test_replacement_mapper_fractional_weights():
+    from rich_text_to_image_tpu.models.tokenizer import CLIPTokenizer
+    from rich_text_to_image_tpu.utils.seq_aligner import (
+        _word_inds_by_place, get_replacement_mapper,
+    )
+
+    tok = CLIPTokenizer.byte_level()
+    base, edit = "a cat on a table", "a tiger on a table"
+    m = get_replacement_mapper(base, edit, tok)
+    src = _word_inds_by_place(base, 1, tok)
+    tgt = _word_inds_by_place(edit, 1, tok)
+    assert len(src) != len(tgt)
+    # every source row spreads mass 1/len(tgt) over all target columns
+    np.testing.assert_allclose(m[np.ix_(src, tgt)], 1.0 / len(tgt))
+    # source rows sum to 1 (mass conserved)
+    np.testing.assert_allclose(m[src].sum(-1), 1.0)
+
+
+def test_p2p_replace_unequal_lengths_e2e(pipe):
+    """The fractional Replace path runs end-to-end (previously raised)."""
+    px = pipe.unet_cfg.sample_size * pipe.vae_scale_factor
+    p2p = PromptToPromptPipeline(pipe)
+    imgs = p2p.generate(
+        "a cat on a table", "a tiger on a table", num_inference_steps=4,
+        height=px, width=px, seed=3, controller="replace",
+    )
+    assert imgs.shape == (2, px, px, 3)
+    assert np.isfinite(imgs.astype(np.float64)).all()
