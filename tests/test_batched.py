@@ -6,6 +6,8 @@ import pytest
 from rich_text_to_image_tpu.models import config as cfg
 from rich_text_to_image_tpu.pipelines.region_sd import RegionDiffusion
 
+pytestmark = pytest.mark.slow  # heavy pipeline e2e — fast lane: -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def pipe():

@@ -164,6 +164,7 @@ def _fake_source_from_tree(tree, rule):
     return src
 
 
+@pytest.mark.slow
 def test_unet_converter_roundtrip():
     model = UNet2DCondition(cfg.TINY_UNET)
     tree = model.init(
@@ -184,6 +185,7 @@ def test_unet_converter_roundtrip():
         )
 
 
+@pytest.mark.slow
 def test_vae_converter_roundtrip():
     model = AutoencoderKL(cfg.TINY_VAE)
     tree = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))["params"]

@@ -16,6 +16,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # heavy pipeline e2e — fast lane: -m 'not slow'
+
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden.json")
 
 

@@ -11,6 +11,8 @@ from rich_text_to_image_tpu.pipelines.prompt_to_prompt import (
 from rich_text_to_image_tpu.pipelines.region_sd import RegionDiffusion
 from rich_text_to_image_tpu.utils.seq_aligner import get_word_inds
 
+pytestmark = pytest.mark.slow  # heavy pipeline e2e — fast lane: -m 'not slow'
+
 
 def test_get_word_inds():
     tok = CLIPTokenizer.byte_level()

@@ -1,6 +1,7 @@
 """Pipeline under a device mesh: sharded run == single-device run."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -8,9 +9,13 @@ import jax.numpy as jnp
 from rich_text_to_image_tpu.models import config as cfg
 from rich_text_to_image_tpu.parallel.mesh import make_mesh
 from rich_text_to_image_tpu.pipelines.region_sd import (
+
     RegionDiffusion,
     RichControlSpec,
 )
+
+
+pytestmark = pytest.mark.slow  # heavy pipeline e2e — fast lane: -m 'not slow'
 
 
 def _make(mesh=None):

@@ -1,6 +1,7 @@
 """Mesh / sharding / training-step tests on the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ def test_param_spec_rules():
     assert param_spec((16, 30), mesh) == P()
 
 
+@pytest.mark.slow
 def test_train_step_sharded_runs_and_reduces_loss():
     mesh = make_mesh(8)
     init_fn, train_step = make_train_step(cfg.TINY_UNET, learning_rate=1e-3,
@@ -59,6 +61,7 @@ def test_train_step_sharded_runs_and_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_sharded_unet_forward_matches_single_device():
     """DP-sharded batched forward == replicated forward (collectives sound)."""
     from rich_text_to_image_tpu.models.init_utils import fast_init

@@ -20,6 +20,8 @@ from rich_text_to_image_tpu.pipelines.region_sd import (
 from rich_text_to_image_tpu.utils import richtext
 from rich_text_to_image_tpu.utils.token_maps import get_token_maps
 
+pytestmark = pytest.mark.slow  # heavy pipeline e2e — fast lane: -m 'not slow'
+
 STEPS = 12  # > agg_start_step so cross maps accumulate
 
 

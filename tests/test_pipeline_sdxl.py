@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from rich_text_to_image_tpu.models import config as cfg
 from rich_text_to_image_tpu.pipelines.region_sdxl import RegionDiffusionXL
 
+pytestmark = pytest.mark.slow  # heavy pipeline e2e — fast lane: -m 'not slow'
+
 STEPS = 12
 
 

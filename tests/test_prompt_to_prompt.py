@@ -41,6 +41,7 @@ def pipe():
     )
 
 
+@pytest.mark.slow
 def test_p2p_generate(pipe):
     px = pipe.unet_cfg.sample_size * pipe.vae_scale_factor
     p2p = PromptToPromptPipeline(pipe)
@@ -54,6 +55,7 @@ def test_p2p_generate(pipe):
     assert np.abs(imgs[0].astype(int) - imgs[1].astype(int)).max() > 0
 
 
+@pytest.mark.slow
 def test_p2p_identical_prompts_match(pipe):
     """Editing with the identical prompt must reproduce the base image."""
     px = pipe.unet_cfg.sample_size * pipe.vae_scale_factor
@@ -168,6 +170,7 @@ def test_replacement_mapper_fractional_weights():
     np.testing.assert_allclose(m[src].sum(-1), 1.0)
 
 
+@pytest.mark.slow
 def test_p2p_replace_unequal_lengths_e2e(pipe):
     """The fractional Replace path runs end-to-end (previously raised)."""
     px = pipe.unet_cfg.sample_size * pipe.vae_scale_factor

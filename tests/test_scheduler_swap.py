@@ -6,9 +6,13 @@ import pytest
 from rich_text_to_image_tpu.models import config as cfg
 from rich_text_to_image_tpu.pipelines.region_sd import RegionDiffusion
 from rich_text_to_image_tpu.schedulers import (
+
     DDIMScheduler,
     DPMSolverMultistepScheduler,
 )
+
+
+pytestmark = pytest.mark.slow  # heavy pipeline e2e — fast lane: -m 'not slow'
 
 
 @pytest.mark.parametrize("sched_cls", [DDIMScheduler,
