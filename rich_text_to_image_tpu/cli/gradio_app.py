@@ -26,7 +26,10 @@ async (text_input) => {
 
 
 def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
-              random_weights: bool = False):
+              random_weights: bool = False, model=None,
+              resolution: int | None = None):
+    """Construct the demo. ``model``/``resolution`` let tests (and embedders)
+    inject a pre-built pipeline / a non-default output size."""
     try:
         import gradio as gr
     except ImportError as e:  # pragma: no cover
@@ -41,20 +44,29 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
     from ..ops.resize import resize_bicubic
     from .sample import build_model
 
-    class _Args:
-        model = model_kind
-        checkpoint_dir = checkpoint_dir
-        random_weights = random_weights
+    from .examples import APP_DEFAULTS, example_rows
+    from .share_button import COMMUNITY_JS, SHARE_BUTTON_CSS
 
-    model = build_model(_Args())
-    default_res = 512 if model_kind == "SD" else 1024
+    if model is None:
+        class _Args:
+            pass
+
+        _Args.model = model_kind
+        _Args.checkpoint_dir = checkpoint_dir
+        _Args.random_weights = random_weights
+        model = build_model(_Args())
+    d = APP_DEFAULTS[model_kind]
+    default_res = resolution or d["resolution"]
 
     def generate(text_input, negative_prompt, seed, steps, guidance_weight,
                  color_guidance_weight, inject_selfattn, inject_background,
                  segment_threshold, num_segments):
         if not text_input:
             raise gr.Error("empty rich-text input")
-        doc = json.loads(text_input)
+        try:
+            doc = json.loads(text_input)
+        except json.JSONDecodeError as e:
+            raise gr.Error(f"invalid rich-text JSON: {e}") from e
         parsed = richtext.parse_json(doc)
         tok = model.tokenizer._tokenize
         region_prompts, region_ids, base_tokens = (
@@ -109,34 +121,48 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
     with open(editor_path, encoding="utf-8") as fp:
         editor_html = fp.read()
 
-    with gr.Blocks() as demo:
+    with gr.Blocks(css=SHARE_BUTTON_CSS) as demo:
         gr.HTML(
             f'<iframe srcdoc="{gr.utils.sanitize_html(editor_html) if hasattr(gr.utils, "sanitize_html") else editor_html}" '
-            'style="width:100%;height:220px;border:none;"></iframe>'
+            'style="width:100%;height:260px;border:none;"></iframe>'
         )
         text_input = gr.Textbox(visible=False)
         negative = gr.Textbox(label="negative prompt", value="")
         with gr.Row():
-            seed = gr.Slider(0, 100000, value=6, step=1, label="seed")
-            steps = gr.Slider(10, 100, value=41, step=1, label="steps")
-            guidance = gr.Slider(1, 20, value=8.5, label="guidance weight")
+            seed = gr.Slider(0, 100000, value=d["seed"], step=1, label="seed")
+            steps = gr.Slider(10, 100, value=d["steps"], step=1, label="steps")
+            guidance = gr.Slider(1, 20, value=d["guidance_weight"],
+                                 label="guidance weight")
         with gr.Row():
-            colorw = gr.Slider(0, 2, value=0.5, label="color guidance weight")
-            inj_s = gr.Slider(0, 1, value=0.0, label="inject self-attention")
-            inj_b = gr.Slider(0, 1, value=0.0, label="inject background")
+            colorw = gr.Slider(0, 2, value=d["color_guidance_weight"],
+                               label="color guidance weight")
+            inj_s = gr.Slider(0, 1, value=d["inject_selfattn"],
+                              label="inject self-attention")
+            inj_b = gr.Slider(0, 1, value=d["inject_background"],
+                              label="inject background")
         with gr.Row():
-            seg_t = gr.Slider(0, 1, value=0.3, label="segment threshold")
-            num_seg = gr.Slider(2, 20, value=9, step=1, label="num segments")
+            # per-app default delta: SDXL uses threshold 0.55, SD/AnimeXL 0.25
+            # (reference gradio_app*.py:187)
+            seg_t = gr.Slider(0, 1, value=d["segment_threshold"],
+                              label="segment threshold")
+            num_seg = gr.Slider(2, 20, value=d["num_segments"], step=1,
+                                label="num segments")
         btn = gr.Button("Generate")
-        outs = [gr.Image(label=n) for n in
-                ("plain", "rich", "segmentation", "token maps")]
-        btn.click(
-            generate,
-            inputs=[text_input, negative, seed, steps, guidance, colorw,
-                    inj_s, inj_b, seg_t, num_seg],
-            outputs=outs,
-            js=GET_JS_DATA,
-        )
+        with gr.Row(elem_id="outputs"):
+            outs = [gr.Image(label=n) for n in
+                    ("plain", "rich", "segmentation", "token maps")]
+        share = gr.Button("Share to community", elem_id="share-btn")
+        share.click(None, [], [], js=COMMUNITY_JS)
+        inputs = [text_input, negative, seed, steps, guidance, colorw,
+                  inj_s, inj_b, seg_t, num_seg]
+        btn.click(generate, inputs=inputs, outputs=outs, js=GET_JS_DATA)
+        # example banks (cached as golden demos when real weights exist,
+        # reference gradio_app.py:264-508 cache_examples=True)
+        for suite, rows in example_rows(model_kind).items():
+            gr.Examples(
+                examples=rows, label=suite, inputs=inputs, outputs=outs,
+                fn=generate, cache_examples=checkpoint_dir is not None,
+            )
     return demo
 
 
