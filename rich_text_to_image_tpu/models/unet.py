@@ -105,15 +105,47 @@ def _groupnorm(groups, dtype, name, eps=1e-5):
     return nn.GroupNorm(num_groups=groups, epsilon=eps, dtype=dtype, name=name)
 
 
+class Conv2D(nn.Module):
+    """nn.Conv-compatible 2-D conv (identical param tree: ``kernel`` HWIO +
+    ``bias``) that routes 3×3/stride-1/pad-1 calls through the Pallas
+    flat-offset kernel (ops/conv.py) when ``enable_pallas_conv()`` is on and
+    the shape qualifies; falls back to XLA's conv otherwise."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    pad: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv import conv3x3, conv3x3_supported, pallas_conv_enabled
+
+        k = self.kernel
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if (pallas_conv_enabled() and k == 3 and self.stride == 1
+                and self.pad == 1
+                and conv3x3_supported(x.shape, kernel.shape)):
+            return conv3x3(x, kernel, bias,
+                           interpret=jax.default_backend() == "cpu")
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (self.stride, self.stride),
+            [(self.pad, self.pad), (self.pad, self.pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+
 def _conv(features, kernel=3, stride=1, pad=1, dtype=jnp.float32, name=None):
-    return nn.Conv(
-        features,
-        (kernel, kernel),
-        strides=(stride, stride),
-        padding=[(pad, pad), (pad, pad)],
-        dtype=dtype,
-        name=name,
-    )
+    return Conv2D(features, kernel, stride, pad, dtype=dtype, name=name)
 
 
 class TimestepEmbedding(nn.Module):
