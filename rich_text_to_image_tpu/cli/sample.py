@@ -114,11 +114,18 @@ def run_sample(model, args, param, save=True):
         _imwrite(os.path.join(run_dir, f"seed{seed}_plain.jpg"), plain_img[0])
     print("time lapses to get attention maps: %.4f" % (time.time() - begin))
 
-    # ---- token maps (color spans, then region spans — sample.py:77-92)
+    # ---- token maps (color spans, then region spans — sample.py:77-92).
+    # Like the reference, every call saves segmentation + token-map figures
+    # into run_dir (attention_utils.py:266-270,334-335).
+    vis_kw = dict(
+        save_dir=run_dir if save else None,
+        tokens_vis=base_tokens,
+        save_attn=getattr(args, "save_attn", False),
+    )
     color_obj_masks = get_token_maps(
         agg, color_target_token_ids[:-1], lat_hw, seed,
         segment_threshold=args.segment_threshold,
-        num_segments=args.num_segments,
+        num_segments=args.num_segments, **vis_kw,
     )
     color_obj_atten_all = np.zeros_like(color_obj_masks[-1])
     for m in color_obj_masks[:-1]:
@@ -132,7 +139,7 @@ def run_sample(model, args, param, save=True):
     model.masks = get_token_maps(
         agg, region_target_token_ids[:-1], lat_hw, seed,
         segment_threshold=args.segment_threshold,
-        num_segments=args.num_segments,
+        num_segments=args.num_segments, **vis_kw,
     )
 
     # ---- rich pass
@@ -188,6 +195,11 @@ def make_parser():
     parser.add_argument("--inject_background", type=float, default=0.0)
     parser.add_argument("--checkpoint_dir", type=str, default=None)
     parser.add_argument("--random_weights", action="store_true")
+    parser.add_argument(
+        "--save_attn", action="store_true",
+        help="dump raw aggregated self/cross attention maps under "
+             "run_dir/maps/ (reference attention_utils.py:257-260)",
+    )
     parser.add_argument(
         "--scheduler", type=str, default=None,
         choices=["pndm", "ddim", "dpm", "euler"],

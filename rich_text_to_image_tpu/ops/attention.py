@@ -40,6 +40,64 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e9
 
 
+# ========================================================== full-row kernel
+_LOG2E = 1.4426950408889634
+
+
+def _full_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
+    """One (batch*head, q-tile): softmax over the FULL KV row.
+
+    For the UNet's self-attention shapes (S ≤ 4096) K/V for one (b,h) fit in
+    VMEM, so the online-softmax machinery (per-block running max/sum and acc
+    rescales — all VPU passes over small tiles) is pure overhead. Instead:
+    one fat QK matmul [blk_q,Dp]@[Dp,S], one softmax pass over the row, one
+    fat PV matmul [blk_q,S]@[S,Dp]. The 1/l normalization happens *after*
+    PV on the [blk_q,Dp] tile (S/Dp-fold fewer divides), and exp2 is used
+    with log2(e) pre-folded into the Q scale. Measured ~4-5× faster than
+    the online kernel at SD/SDXL shapes (scripts/bench_attn_landscape.py).
+    """
+    q = q_ref[0]  # (BQ, Dp), storage dtype, pre-scaled by scale*log2(e)
+    k = k_ref[0]  # (Sp, Dp)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, Sp) fp32, log2-scaled logits
+    if k.shape[0] != kv_len:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(q.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, Dp) fp32
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+# VMEM working-set cap for the full-row path: K+V (bf16) + scores (fp32)
+# + probs (bf16) per instance, with headroom for double-buffered q/out tiles.
+_FULL_PATH_VMEM = 12 * 1024 * 1024
+
+
+def _full_path_layout(sq: int, skv_p: int, dp: int, itemsize: int):
+    """Pick blk_q for the full-row kernel, or None if it can't fit VMEM."""
+    kv_bytes = 2 * skv_p * dp * itemsize
+    for blk_q in (1024, 512, 256, 128):
+        if blk_q > _round_up(sq, 8):
+            continue
+        s_bytes = blk_q * skv_p * 4 + blk_q * skv_p * itemsize
+        q_bytes = 2 * 2 * blk_q * dp * itemsize  # double-buffered q + out
+        if kv_bytes + s_bytes + q_bytes <= _FULL_PATH_VMEM:
+            return blk_q
+    return None
+
+
 # =============================================================== flash kernel
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, blk_k: int):
     """One (batch*head, q-tile): online-softmax over K tiles.
@@ -125,18 +183,64 @@ def flash_attention(
     masked out). D is zero-padded to a lane multiple (zero K-pad adds 0 to
     logits, zero V-pad yields sliced-away output columns).
 
-    block_q default is swept on v5e: narrow heads (D≤48, i.e. SD-1.5's
-    64²-res layers) peak at 512 (85% of the lane-padded ceiling); wider
-    heads at 2048 (91% for SDXL's D=64).
+    Path selection (block_q=None): when K+V+scores for one (b,h) fit VMEM
+    (all UNet self-attention shapes, S ≤ 4096) a full-row softmax kernel is
+    used — no online rescale passes, normalization after PV, exp2 softmax.
+    Otherwise (e.g. VAE attention at 16k+ tokens) the online-softmax kernel
+    streams K/V blocks. Passing block_q explicitly forces the online path
+    with those block sizes.
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    if block_q is None:
-        block_q = 512 if d <= 48 else 2048
 
     dp = _round_up(d, 128)
+    itemsize = jnp.dtype(q.dtype).itemsize
+
+    full_blk_q = _full_path_layout(sq, _round_up(skv, 128), dp, itemsize)
+    if block_q is None and full_blk_q is not None:
+        # Full-row softmax path: KV resident, exp2 with log2(e) in the scale.
+        blk_q = full_blk_q
+        sq_p = _round_up(sq, blk_q)
+        skv_p = _round_up(skv, 128)
+        qs = q * jnp.asarray(scale * _LOG2E, q.dtype)
+        qp = _pad_axis(_pad_last(qs, dp), 2, sq_p).reshape(b * h, sq_p, dp)
+        kp = _pad_axis(_pad_last(k, dp), 2, skv_p).reshape(b * h, skv_p, dp)
+        vp = _pad_axis(_pad_last(v, dp), 2, skv_p).reshape(b * h, skv_p, dp)
+        out = pl.pallas_call(
+            functools.partial(_full_kernel, kv_len=skv),
+            grid=(b * h, sq_p // blk_q),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, blk_q, dp), lambda i, j: (i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, skv_p, dp), lambda i, j: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, skv_p, dp), lambda i, j: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, blk_q, dp), lambda i, j: (i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * sq * skv * d,
+                bytes_accessed=(b * h) * (sq_p + 2 * skv_p) * dp * itemsize,
+                transcendentals=b * h * sq * skv,
+            ),
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out.reshape(b, h, sq_p, dp)[:, :, :sq, :d]
+
+    if block_q is None:
+        block_q = 512 if d <= 48 else 2048
     blk_q = min(block_q, _round_up(sq, 8))
     sq_p = _round_up(sq, blk_q)
     blk_k = min(block_k, _round_up(skv, 128))

@@ -268,8 +268,38 @@ class RegionDiffusionXL:
         return functools.partial(run, self.vae_params)
 
     def decode_latents(self, latents) -> np.ndarray:
-        imgs = np.asarray(self._decode(latents))
+        if getattr(self, "_vae_tiling", False):
+            from ..models.vae_tiling import tiled_decode
+
+            # diffusers tile_latent_min_size = sample_size // 8 with the
+            # SDXL vae's sample_size=1024 → 128-latent tiles
+            imgs = tiled_decode(
+                self._decode, np.asarray(latents),
+                tile_latent=1024 // self.vae_scale_factor,
+                scale=self.vae_scale_factor,
+            )
+        elif getattr(self, "_vae_slicing", False):
+            from ..models.vae_tiling import sliced_decode
+
+            imgs = sliced_decode(self._decode, np.asarray(latents))
+        else:
+            imgs = np.asarray(self._decode(latents))
         return (imgs * 255).round().astype(np.uint8)
+
+    # Reference API parity (region_diffusion_sdxl.py:150-183). The other
+    # "efficient"-variant memory tricks (accelerate CPU offload, meta
+    # devices, :185-235) are CUDA workarounds with no TPU counterpart.
+    def enable_vae_tiling(self):
+        self._vae_tiling = True
+
+    def disable_vae_tiling(self):
+        self._vae_tiling = False
+
+    def enable_vae_slicing(self):
+        self._vae_slicing = True
+
+    def disable_vae_slicing(self):
+        self._vae_slicing = False
 
     # ------------------------------------------------------- capture layout
     def _capture_layout(self, latent_hw):

@@ -83,11 +83,22 @@ def get_token_maps(
     num_segments: int = 5,
     n_init: int = 100,
     return_segments: bool = False,
+    save_dir: str | None = None,
+    tokens_vis: Sequence[str] | None = None,
+    save_attn: bool = False,
 ):
     """Per-span soft masks [1, h, w] (+ background last), summing to 1.
 
     Mirrors utils/attention_utils.py:233-341; returns a list of numpy
     masks shaped [1, h, w] (channel-repeat happens at the use site).
+
+    With ``save_dir`` set, reproduces the reference's always-on visual
+    debugging: a segmentation figure (attention_utils.py:266-270) and a
+    token-map heat grid of the pre-resize + resized maps
+    (attention_utils.py:334-335) are written there per call; ``save_attn``
+    additionally dumps the raw aggregated self/cross maps under
+    ``save_dir/maps/`` (attention_utils.py:257-260,292-295 — .npy instead
+    of .pth).
     """
     # ---- segmentation from self-attention affinity
     affinity = np.asarray(agg.self_sum, dtype=np.float32)
@@ -147,6 +158,23 @@ def get_token_maps(
     resized = np.clip(resized, 0.0, 1.0)
     resized = resized / (resized.sum(axis=0, keepdims=True) + 1e-8)
     masks = [resized[i][None] for i in range(resized.shape[0])]
+
+    if save_dir is not None:
+        from .viz import plot_attention_maps, save_segmentation
+
+        save_segmentation(clusters, save_dir, num_segments, seed)
+        plot_attention_maps(
+            [[m[None] for m in foreground], masks], obj_tokens,
+            save_dir, seed, tokens_vis=tokens_vis,
+        )
+    if save_attn:
+        import os
+
+        maps_dir = os.path.join(save_dir or ".", "maps")
+        os.makedirs(maps_dir, exist_ok=True)
+        np.save(os.path.join(maps_dir, "selfattn_maps.npy"), affinity)
+        np.save(os.path.join(maps_dir, "crossattn_maps.npy"), cross)
+
     if return_segments:
         return masks, clusters
     return masks

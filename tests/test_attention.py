@@ -67,6 +67,32 @@ def test_flash_injection_equivalence():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "b,h,sq,skv,d",
+    [
+        (1, 2, 256, 256, 64),
+        (2, 2, 128, 128, 40),  # SD 64²-res head dim, unaligned D
+        (1, 1, 300, 300, 64),  # unaligned seq → padded-KV mask path
+        (1, 2, 256, 77, 64),  # cross-attn shaped
+        (1, 1, 64, 512, 160),  # D > 128
+    ],
+)
+def test_fullrow_path_matches_oracle(b, h, sq, skv, d):
+    """block_q=None routes through the full-row softmax kernel at these
+    VMEM-resident sizes; verify against the same oracle."""
+    rng = np.random.RandomState(7)
+    q = rng.randn(b, h, sq, d).astype(np.float32)
+    k = rng.randn(b, h, skv, d).astype(np.float32)
+    v = rng.randn(b, h, skv, d).astype(np.float32)
+    want, _ = _oracle(q, k, v)
+    got = np.asarray(
+        flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_attention_with_probs():
     rng = np.random.RandomState(2)
     q = rng.randn(2, 2, 64, 40).astype(np.float32)

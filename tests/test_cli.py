@@ -28,7 +28,8 @@ def test_run_sample_end_to_end(tmp_path):
     args = make_parser().parse_args(
         ["--run_dir", str(tmp_path), "--sample_steps", "12",
          "--num_segments", "3", "--segment_threshold", "0.25",
-         "--rich_text_json", doc, "--seed", "3", "--random_weights"]
+         "--rich_text_json", doc, "--seed", "3", "--random_weights",
+         "--save_attn"]
     )
     param = {
         "text_input": json.loads(doc),
@@ -46,3 +47,10 @@ def test_run_sample_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "seed3_rich.jpg")
     # two attributed spans → 3 region masks incl. background
     assert len(model.masks) == 3
+    # per-call visual debugging parity (attention_utils.py:266-270,334-335):
+    # segmentation + token-map figures saved into run_dir on every
+    # get_token_maps call, raw map dumps under maps/ with --save_attn
+    assert os.path.exists(tmp_path / "segmentation_k3_seed3.jpg")
+    assert os.path.exists(tmp_path / "average_seed3_attn0.png")
+    assert os.path.exists(tmp_path / "maps" / "selfattn_maps.npy")
+    assert os.path.exists(tmp_path / "maps" / "crossattn_maps.npy")
