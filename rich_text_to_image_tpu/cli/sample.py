@@ -57,12 +57,17 @@ def build_model(args):
             "or --random_weights"
         )
     elif args.model in ("SDXL", "AnimeXL"):
+        import jax.numpy as jnp
+
         from ..pipelines.region_sdxl import RegionDiffusionXL
 
+        kw = {}
+        if getattr(args, "bf16_vae", False):
+            kw["vae_dtype"] = jnp.bfloat16
         if args.checkpoint_dir:
-            model = RegionDiffusionXL.from_pretrained(args.checkpoint_dir)
+            model = RegionDiffusionXL.from_pretrained(args.checkpoint_dir, **kw)
         elif args.random_weights:
-            model = RegionDiffusionXL.random_init(seed=0)
+            model = RegionDiffusionXL.random_init(seed=0, **kw)
         else:
             model = None
         if model is not None:
@@ -195,6 +200,12 @@ def make_parser():
     parser.add_argument("--inject_background", type=float, default=0.0)
     parser.add_argument("--checkpoint_dir", type=str, default=None)
     parser.add_argument("--random_weights", action="store_true")
+    parser.add_argument(
+        "--bf16_vae", action="store_true",
+        help="SDXL: decode the VAE in bfloat16 (fp32 range, ~4x faster "
+             "matmuls) — the TPU analogue of the reference efficient "
+             "variant's bf16 decode; default keeps the reference's fp32",
+    )
     parser.add_argument(
         "--save_attn", action="store_true",
         help="dump raw aggregated self/cross attention maps under "

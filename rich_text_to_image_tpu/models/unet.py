@@ -39,6 +39,7 @@ from ..ops.attention import (
     attention_with_probs,
     cross_attention,
     flash_attention,
+    flash_attention_avg_probs,
 )
 from .config import UNetConfig
 
@@ -317,9 +318,17 @@ class Attention(nn.Module):
 
             want_probs = name in capture.self_probs
             if want_probs:
-                o, probs = attention_with_probs(q_used, k_used, v, scale)
+                # capture layers consume only the head AVERAGE
+                # (region_diffusion.py:417) — the fused kernel emits it
+                # without materializing [B,H,S,S] probs in HBM
+                if _use_flash(S) and self.dtype != jnp.float64:
+                    o, pavg = flash_attention_avg_probs(
+                        q_used, k_used, v, scale)
+                else:
+                    o, probs = attention_with_probs(q_used, k_used, v, scale)
+                    pavg = jnp.mean(probs, axis=1)
                 if aux is not None:
-                    aux.setdefault("self_probs", {})[name] = jnp.mean(probs, axis=1)
+                    aux.setdefault("self_probs", {})[name] = pavg
             elif _use_flash(S) and self.dtype != jnp.float64:
                 o = flash_attention(q_used, k_used, v, scale)
             else:

@@ -98,6 +98,117 @@ def _full_path_layout(sq: int, skv_p: int, dp: int, itemsize: int):
     return None
 
 
+def _full_kernel_avgp(q_ref, k_ref, v_ref, o_ref, pavg_ref, *, kv_len: int,
+                      heads: int):
+    """Full-row kernel that additionally emits head-AVERAGED probs.
+
+    Capture layers (the 32²-res registry layers the token mapper consumes)
+    only ever use the head-averaged probs (region_diffusion.py:417 via
+    reshape_batch_dim_to_heads_and_average) — so the [B,H,S,S] per-head
+    probs never need to exist in HBM. Grid is (b, q-tiles, h) with h
+    innermost; the pavg output block maps to (b, q-tile) and is revisited
+    across h, accumulating p/l/heads in VMEM.
+    """
+    h = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if k.shape[0] != kv_len:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(q.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    pn = p / (l * heads)
+
+    @pl.when(h == 0)
+    def _init():
+        pavg_ref[0] = pn
+
+    @pl.when(h > 0)
+    def _acc():
+        pavg_ref[0] += pn
+
+
+def flash_attention_avg_probs(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Flash attention returning (out [B,H,Sq,D], head-avg probs
+    [B,Sq,Skv] fp32) without materializing per-head probs in HBM.
+
+    Drop-in for the capture path where only the head average is consumed
+    (the XLA ``attention_with_probs`` + mean writes/reads the full
+    [B,H,S,S] tensor). Requires the full-row VMEM layout (S ≤ ~4096).
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    dp = _round_up(d, 128)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    skv_p = _round_up(skv, 128)
+    blk_q = _full_path_layout(sq, skv_p, dp, itemsize)
+    if blk_q is None:
+        raise ValueError(
+            f"KV too large for the full-row capture kernel: S={sq}/{skv}")
+    # live per-instance row buffers: s fp32 + pn fp32 + pavg fp32 + p bf16
+    # ≈ 14 B/elem of [blk_q, skv_p]; keep them within ~10 MB of the 16 MB
+    # scoped-vmem limit (KV + q/out double buffers take the rest)
+    while blk_q > 128 and blk_q * skv_p * 14 > 10 * 1024 * 1024:
+        blk_q //= 2
+    sq_p = _round_up(sq, blk_q)
+
+    qs = q * jnp.asarray(scale * _LOG2E, q.dtype)
+    qp = _pad_axis(_pad_last(qs, dp), 2, sq_p)
+    kp = _pad_axis(_pad_last(k, dp), 2, skv_p)
+    vp = _pad_axis(_pad_last(v, dp), 2, skv_p)
+
+    out, pavg = pl.pallas_call(
+        functools.partial(_full_kernel_avgp, kv_len=skv, heads=h),
+        grid=(b, sq_p // blk_q, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, blk_q, dp), lambda i, j, n: (i, n, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, skv_p, dp), lambda i, j, n: (i, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, skv_p, dp), lambda i, j, n: (i, n, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, blk_q, dp), lambda i, j, n: (i, n, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q, skv_p), lambda i, j, n: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sq_p, dp), q.dtype),
+            jax.ShapeDtypeStruct((b, sq_p, skv_p), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * sq * skv * d,
+            bytes_accessed=(qp.size + kp.size + vp.size) * itemsize
+            + b * sq_p * skv_p * 4,
+            transcendentals=b * h * sq * skv,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :, :sq, :d], pavg[:, :sq, :skv]
+
+
 # =============================================================== flash kernel
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, blk_k: int):
     """One (batch*head, q-tile): online-softmax over K tiles.

@@ -60,9 +60,15 @@ class RegionDiffusionXL:
         agg_start_step: int = 10,
         mesh=None,
         scheduler=None,
+        vae_dtype=jnp.float32,
     ):
+        # vae_dtype: the reference decodes fp32 for SDXL (its fp16 VAE
+        # overflows, region_diffusion_sdxl.py:916-917); on TPU bf16 keeps
+        # fp32 RANGE, so bf16 decode is the "efficient"-variant trade
+        # (region_diffusion_sdxl_efficient.py bf16 decode) — opt-in,
+        # ~4× faster matmuls at 8-bit-pixel-invisible precision cost.
         self.unet = UNet2DCondition(unet_cfg, dtype=dtype)
-        self.vae = AutoencoderKL(vae_cfg, dtype=jnp.float32)
+        self.vae = AutoencoderKL(vae_cfg, dtype=vae_dtype)
         self.text_encoder = CLIPTextModel(text_cfg, dtype=jnp.float32)
         self.text_encoder_2 = CLIPTextModel(text2_cfg, dtype=jnp.float32)
         self.unet_params = unet_params
@@ -109,7 +115,7 @@ class RegionDiffusionXL:
 
     # ------------------------------------------------------------ factories
     @classmethod
-    def from_pretrained(cls, checkpoint_dir: str, dtype=jnp.bfloat16):
+    def from_pretrained(cls, checkpoint_dir: str, dtype=jnp.bfloat16, **kw):
         import os
 
         from ..models.convert import (
@@ -157,7 +163,7 @@ class RegionDiffusionXL:
                 load_safetensors_dir(
                     os.path.join(checkpoint_dir, "text_encoder_2")),
                 cfgs.SDXL_TEXT_2, t2_t["params"])},
-            tok, tok2, dtype=dtype,
+            tok, tok2, dtype=dtype, **kw,
         )
 
     @classmethod

@@ -91,9 +91,18 @@ def main():
     print(json.dumps({"phase": "token_maps", "seconds":
                       round(time.time() - t0, 3)}), flush=True)
 
+    model.decode_latents(lat)  # compile warmup
     t0 = time.time()
     model.decode_latents(lat)
     print(json.dumps({"phase": "vae_decode", "seconds":
+                      round(time.time() - t0, 3)}), flush=True)
+
+    # second token_maps call with the cluster cache warm (the CLI flow
+    # segments the same affinity twice — color spans then region spans)
+    t0 = time.time()
+    get_token_maps(agg, [[2], [4]], (h, w), 0,
+                   segment_threshold=0.55, num_segments=9)
+    print(json.dumps({"phase": "token_maps_cached", "seconds":
                       round(time.time() - t0, 3)}), flush=True)
 
     overhead = (t_cap - t_nocap) / t_nocap * 100

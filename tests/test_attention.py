@@ -93,6 +93,27 @@ def test_fullrow_path_matches_oracle(b, h, sq, skv, d):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("b,h,sq,skv,d", [
+    (2, 4, 256, 256, 40),
+    (1, 3, 300, 300, 64),  # unaligned seq + odd head count
+])
+def test_flash_avg_probs_matches_oracle(b, h, sq, skv, d):
+    """Capture-fused kernel: out + head-averaged probs, no [B,H,S,S] in HBM."""
+    from rich_text_to_image_tpu.ops.attention import flash_attention_avg_probs
+
+    rng = np.random.RandomState(11)
+    q = rng.randn(b, h, sq, d).astype(np.float32)
+    k = rng.randn(b, h, skv, d).astype(np.float32)
+    v = rng.randn(b, h, skv, d).astype(np.float32)
+    want_out, want_p = _oracle(q, k, v)
+    out, pavg = flash_attention_avg_probs(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), want_out, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(pavg), want_p.mean(axis=1), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pavg).sum(-1), 1.0, rtol=1e-4)
+
+
 def test_attention_with_probs():
     rng = np.random.RandomState(2)
     q = rng.randn(2, 2, 64, 40).astype(np.float32)
