@@ -29,40 +29,79 @@ import jax.numpy as jnp
 from .kmeans import kmeans
 
 
-@functools.partial(jax.jit, static_argnames=("num_segments", "n_init", "iters"))
+def _topk_eigvecs_subspace(key, M: jnp.ndarray, k: int, iters: int = 100):
+    """Top-k eigenvectors of symmetric M by subspace iteration.
+
+    M's spectrum here lives in [-1, 1] (normalized affinity), and only the
+    *subspace* feeds k-means, so Rayleigh-Ritz on an oversampled basis
+    after `iters` power steps is ample. O(iters · N²·(k+p)) — far cheaper
+    than dense eigh at N=1024, and (unlike eigh) lowers to a small
+    matmul+QR program that compiles in seconds on TPU.
+    """
+    n = M.shape[0]
+    p = k + max(4, k)  # oversampled basis
+    V = jax.random.normal(key, (n, p), M.dtype)
+    # Shift to make the operator PSD: M + I has the same eigenvectors and
+    # keeps power iteration from cancelling the algebraically-largest ones.
+    def body(_, V):
+        V = M @ V + V
+        q, _ = jnp.linalg.qr(V)
+        return q
+    V = jax.lax.fori_loop(0, iters, body, V)
+    T = V.T @ (M @ V)
+    _, U = jnp.linalg.eigh(0.5 * (T + T.T))
+    return (V @ U)[:, -k:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_segments", "n_init", "iters", "method")
+)
 def _spectral_cluster_impl(
     key,
     affinity: jnp.ndarray,  # [N, N], nonnegative
     num_segments: int,
     n_init: int = 100,
     iters: int = 50,
+    method: str = "eigh",
 ) -> jnp.ndarray:
     W = affinity.astype(jnp.float32)
     W = 0.5 * (W + W.T)
     d = jnp.maximum(W.sum(axis=1), 1e-12)
     inv_sqrt_d = jax.lax.rsqrt(d)
     M = W * inv_sqrt_d[:, None] * inv_sqrt_d[None, :]
-    # eigh returns ascending eigenvalues; take the top-k eigenvectors
-    _, vecs = jnp.linalg.eigh(M)
-    emb = vecs[:, -num_segments:]
-    emb = emb * inv_sqrt_d[:, None]  # sklearn diffusion-map recovery
+    if method == "subspace":
+        k_eig, k_km = jax.random.split(key)
+        vecs = _topk_eigvecs_subspace(k_eig, M, num_segments)
+        key = k_km
+    else:
+        # eigh returns ascending eigenvalues; take the top-k eigenvectors
+        _, vecs = jnp.linalg.eigh(M)
+        vecs = vecs[:, -num_segments:]
+    emb = vecs * inv_sqrt_d[:, None]  # sklearn diffusion-map recovery
     return kmeans(key, emb, num_segments, n_init=n_init, iters=iters)
 
 
 def spectral_cluster(key, affinity, num_segments: int, n_init: int = 100,
-                     iters: int = 50, device: str = "cpu"):
-    """Spectral clustering; runs on the host CPU backend by default.
+                     iters: int = 50, device: str = "cpu",
+                     method: str = "eigh"):
+    """Spectral clustering.
 
-    It executes once per sample on a 1024² matrix — sub-second anywhere —
-    but a TPU ``eigh`` lowering is enormous to compile (minutes through a
-    remote-compile relay), so the accelerator buys nothing here. Pass
+    device="cpu" (default): host CPU backend — a dense TPU ``eigh``
+    lowering is enormous to compile (minutes through a remote-compile
+    relay), so with method="eigh" the accelerator buys nothing. Pass
     device=None to stay on the default backend.
+
+    method="subspace": Rayleigh-Ritz subspace iteration instead of dense
+    eigh — same labels (tested vs sklearn), ~5× less FLOPs at N=1024, and
+    small enough to compile fast on TPU; pair with device=None on a TPU
+    backend to move the whole segmentation off the host.
     """
     if device is None:
         return _spectral_cluster_impl(key, affinity, num_segments,
-                                      n_init=n_init, iters=iters)
+                                      n_init=n_init, iters=iters,
+                                      method=method)
     with jax.default_device(jax.local_devices(backend=device)[0]):
         return _spectral_cluster_impl(
             jax.device_put(key), jnp.asarray(affinity), num_segments,
-            n_init=n_init, iters=iters,
+            n_init=n_init, iters=iters, method=method,
         )

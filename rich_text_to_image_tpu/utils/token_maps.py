@@ -106,14 +106,23 @@ def get_token_maps(
     assert affinity.shape == (res * res, res * res), affinity.shape
     cache_key = (seed, num_segments, n_init)
     clusters = agg.cluster_cache.get(cache_key)
-    with host_cpu():
-        if clusters is None:
-            key = jax.random.PRNGKey(seed)
-            clusters = np.asarray(
-                spectral_cluster(key, affinity, num_segments, n_init=n_init)
-            ).reshape(res, res)
-            agg.cluster_cache[cache_key] = clusters
+    if clusters is None:
+        key = jax.random.PRNGKey(seed)
+        # On a TPU backend the Rayleigh-Ritz subspace solver runs on-chip
+        # (~0.2s warm vs ~0.6s host eigh, and seconds vs minutes to
+        # compile — scripts/bench_spectral.py); elsewhere dense eigh on
+        # the host CPU is exact and fast enough.
+        if jax.default_backend() == "tpu":
+            device, method = None, "subspace"
+        else:
+            device, method = "cpu", "eigh"
+        clusters = np.asarray(
+            spectral_cluster(key, affinity, num_segments, n_init=n_init,
+                             device=device, method=method)
+        ).reshape(res, res)
+        agg.cluster_cache[cache_key] = clusters
 
+    with host_cpu():
         # ---- cross-attention maps → 32², averaged over layers
         cross = np.zeros((res, res, 77), dtype=np.float32)
         for r, m in agg.cross_sums.items():

@@ -45,7 +45,8 @@ def test_kmeans_separates_blobs():
     assert _rand_index(labels, want) == 1.0
 
 
-def test_spectral_matches_sklearn_blocks():
+@pytest.mark.parametrize("method", ["eigh", "subspace"])
+def test_spectral_matches_sklearn_blocks(method):
     sklearn = pytest.importorskip("sklearn")
     from sklearn.cluster import SpectralClustering
 
@@ -57,13 +58,15 @@ def test_spectral_matches_sklearn_blocks():
     )
     want = sc.fit_predict(A)
     got = np.asarray(
-        spectral_cluster(jax.random.PRNGKey(0), jnp.asarray(A), 4, n_init=10)
+        spectral_cluster(jax.random.PRNGKey(0), jnp.asarray(A), 4, n_init=10,
+                         method=method)
     )
     ri = _rand_index(got, want)
     assert ri > 0.98, f"rand index {ri}"
 
 
-def test_spectral_attentionlike_affinity():
+@pytest.mark.parametrize("method", ["eigh", "subspace"])
+def test_spectral_attentionlike_affinity(method):
     """Affinity built like the real one: row-stochastic self-attention."""
     sklearn = pytest.importorskip("sklearn")
     from sklearn.cluster import SpectralClustering
@@ -77,10 +80,26 @@ def test_spectral_attentionlike_affinity():
         random_state=0,
     ).fit_predict(A)
     got = np.asarray(
-        spectral_cluster(jax.random.PRNGKey(1), jnp.asarray(A), 3, n_init=10)
+        spectral_cluster(jax.random.PRNGKey(1), jnp.asarray(A), 3, n_init=10,
+                         method=method)
     )
     ri = _rand_index(got, want)
     assert ri > 0.98, f"rand index {ri}"
+
+
+def test_spectral_subspace_equals_eigh_on_big_affinity():
+    """1024²-scale affinity (the real segmentation size): the subspace
+    solver must reproduce the dense-eigh labels up to permutation."""
+    rng = np.random.RandomState(5)
+    A = _block_affinity(rng, [300, 260, 240, 224])
+    A = A / A.sum(-1, keepdims=True) * 32
+    l_eigh = np.asarray(spectral_cluster(
+        jax.random.PRNGKey(3), jnp.asarray(A), 4, n_init=10, method="eigh"))
+    l_sub = np.asarray(spectral_cluster(
+        jax.random.PRNGKey(3), jnp.asarray(A), 4, n_init=10,
+        method="subspace"))
+    ri = _rand_index(l_eigh, l_sub)
+    assert ri > 0.99, f"rand index {ri}"
 
 
 def test_spectral_scale_invariance():
