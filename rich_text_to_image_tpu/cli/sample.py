@@ -157,6 +157,8 @@ def run_sample(model, args, param, save=True):
         inject_selfattn=args.inject_selfattn,
         inject_background=args.inject_background,
         text_format_dict=text_format_dict, seed=seed,
+        **({"encoder_reuse": args.encoder_reuse}
+           if args.encoder_reuse > 1 else {}),
     )
     if save:
         _imwrite(os.path.join(run_dir, f"seed{seed}_rich.jpg"), rich_img[0])
@@ -215,6 +217,12 @@ def make_parser():
         "--scheduler", type=str, default=None,
         choices=["pndm", "ddim", "dpm", "euler"],
         help="override the pipeline default (SD: pndm, SDXL: euler)",
+    )
+    parser.add_argument(
+        "--encoder_reuse", type=int, default=1,
+        help="rich-pass turbo: recompute the UNet encoder only every Nth "
+             "step and reuse cached down-path features between (Faster "
+             "Diffusion, arXiv 2312.09608). 1 = off (exact reference math)",
     )
     return parser
 

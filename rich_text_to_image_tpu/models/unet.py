@@ -559,10 +559,144 @@ class MidBlock(nn.Module):
 
 # ---------------------------------------------------------------------- UNet
 class UNet2DCondition(nn.Module):
+    """setup()-style UNet split into ``embed_time`` / ``encode`` / ``decode``.
+
+    ``__call__`` composes the three exactly; the split additionally enables
+    the opt-in *encoder reuse* turbo mode ("Faster Diffusion",
+    arXiv 2312.09608, PAPERS.md): the denoising scan caches
+    ``encode``'s (x, skips) pytree at key steps and, on non-key steps, runs
+    only ``embed_time`` + ``decode`` with the cached encoder features —
+    skipping the whole down path. The reference has no counterpart (it
+    always runs full forwards, models/unet_2d_condition.py:703-983).
+    """
+
     cfg: UNetConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.time_embedding = TimestepEmbedding(cfg.time_embed_dim, self.dtype)
+        if cfg.addition_embed_type == "text_time":
+            self.add_embedding = TimestepEmbedding(
+                cfg.time_embed_dim, self.dtype
+            )
+        self.conv_in = Conv2D(cfg.block_out_channels[0], dtype=self.dtype)
+
+        heads = cfg.heads_per_level
+        down = []
+        for lvl, btype in enumerate(cfg.down_block_types):
+            ch = cfg.block_out_channels[lvl]
+            last = lvl == len(cfg.down_block_types) - 1
+            lname = f"down_blocks.{lvl}"
+            if btype == "CrossAttnDownBlock2D":
+                down.append(CrossAttnDownBlock(
+                    cfg, ch, heads[lvl], cfg.transformer_layers_per_block[lvl],
+                    not last, self.dtype, layer_name=lname,
+                ))
+            else:
+                down.append(DownBlock(cfg, ch, not last, self.dtype,
+                                      layer_name=lname))
+        self.down_blocks = down
+
+        self.mid_block = MidBlock(
+            cfg, cfg.block_out_channels[-1], heads[-1],
+            cfg.transformer_layers_per_block[-1], self.dtype,
+        )
+
+        rev_channels = list(reversed(cfg.block_out_channels))
+        rev_heads = list(reversed(heads))
+        rev_depth = list(reversed(cfg.transformer_layers_per_block))
+        up = []
+        for lvl, btype in enumerate(cfg.up_block_types):
+            ch = rev_channels[lvl]
+            last = lvl == len(cfg.up_block_types) - 1
+            lname = f"up_blocks.{lvl}"
+            if btype == "CrossAttnUpBlock2D":
+                up.append(CrossAttnUpBlock(
+                    cfg, ch, rev_heads[lvl], rev_depth[lvl], not last,
+                    self.dtype, layer_name=lname,
+                ))
+            else:
+                up.append(UpBlock(cfg, ch, not last, self.dtype,
+                                  layer_name=lname))
+        self.up_blocks = up
+
+        self.conv_norm_out = nn.GroupNorm(
+            num_groups=cfg.norm_num_groups, epsilon=1e-5, dtype=self.dtype
+        )
+        self.conv_out = Conv2D(cfg.out_channels, dtype=self.dtype)
+
+    # ---- phase 0: time (+ SDXL micro-conditioning) embedding — cheap,
+    # recomputed every step even when the encoder is reused.
+    def embed_time(self, timesteps, batch: int,
+                   added_cond: dict | None = None):
+        cfg = self.cfg
+        if jnp.ndim(timesteps) == 0:
+            timesteps = jnp.broadcast_to(timesteps, (batch,))
+        t_emb = timestep_embedding(
+            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos,
+            cfg.freq_shift,
+        ).astype(self.dtype)
+        emb = self.time_embedding(t_emb)
+        if cfg.addition_embed_type == "text_time":
+            time_ids = added_cond["time_ids"]  # [B, 6]
+            te = timestep_embedding(
+                time_ids.reshape(-1), cfg.addition_time_embed_dim,
+                cfg.flip_sin_to_cos, cfg.freq_shift,
+            ).reshape(batch, -1)
+            add_emb = jnp.concatenate(
+                [added_cond["text_embeds"], te.astype(self.dtype)], axis=-1
+            )
+            emb = emb + self.add_embedding(add_emb.astype(self.dtype))
+        return emb
+
+    # ---- phase 1: conv_in + down blocks (the reusable "encoder")
+    def encode(
+        self,
+        sample,  # [B, H, W, C] (NHWC)
+        emb,  # [B, time_embed_dim] from embed_time
+        encoder_hidden_states,  # [B, 77, kv_dim]
+        controls: UNetControls | None = None,
+        capture: CaptureSpec = EMPTY_CAPTURE,
+    ):
+        aux: dict = {}
+        context = encoder_hidden_states.astype(self.dtype)
+        x = self.conv_in(sample.astype(self.dtype))
+        skips = [x]
+        for lvl, blk in enumerate(self.down_blocks):
+            if isinstance(blk, CrossAttnDownBlock):
+                x, s = blk(x, emb, context, controls, capture, aux)
+            else:
+                x, s = blk(x, emb, controls)
+            skips += s
+        return {"x": x, "skips": tuple(skips), "aux": aux}
+
+    # ---- phase 2: mid + up blocks + head
+    def decode(
+        self,
+        enc: dict,  # encode() output (possibly cached from a key step)
+        emb,
+        encoder_hidden_states,
+        controls: UNetControls | None = None,
+        capture: CaptureSpec = EMPTY_CAPTURE,
+    ):
+        # copy nested capture dicts too — decode's setdefault must not
+        # mutate the (possibly scan-carried) encoder cache in place
+        aux = {k: dict(v) if isinstance(v, dict) else v
+               for k, v in enc["aux"].items()}
+        context = encoder_hidden_states.astype(self.dtype)
+        skips = list(enc["skips"])
+        x = self.mid_block(enc["x"], emb, context, controls, capture, aux)
+        for blk in self.up_blocks:
+            if isinstance(blk, CrossAttnUpBlock):
+                x = blk(x, skips, emb, context, controls, capture, aux)
+            else:
+                x = blk(x, skips, emb, controls, capture, aux)
+        x = self.conv_norm_out(x)
+        x = nn.silu(x)
+        x = self.conv_out(x)
+        return x, aux
+
     def __call__(
         self,
         sample,  # [B, H, W, C] (NHWC)
@@ -572,84 +706,6 @@ class UNet2DCondition(nn.Module):
         controls: UNetControls | None = None,
         capture: CaptureSpec = EMPTY_CAPTURE,
     ):
-        cfg = self.cfg
-        aux: dict = {}
-        B = sample.shape[0]
-        if jnp.ndim(timesteps) == 0:
-            timesteps = jnp.broadcast_to(timesteps, (B,))
-
-        # ---- time + added embeddings
-        t_emb = timestep_embedding(
-            timesteps, cfg.block_out_channels[0], cfg.flip_sin_to_cos,
-            cfg.freq_shift,
-        ).astype(self.dtype)
-        emb = TimestepEmbedding(cfg.time_embed_dim, self.dtype,
-                                name="time_embedding")(t_emb)
-        if cfg.addition_embed_type == "text_time":
-            time_ids = added_cond["time_ids"]  # [B, 6]
-            te = timestep_embedding(
-                time_ids.reshape(-1), cfg.addition_time_embed_dim,
-                cfg.flip_sin_to_cos, cfg.freq_shift,
-            ).reshape(B, -1)
-            add_emb = jnp.concatenate(
-                [added_cond["text_embeds"], te.astype(self.dtype)], axis=-1
-            )
-            emb = emb + TimestepEmbedding(
-                cfg.time_embed_dim, self.dtype, name="add_embedding"
-            )(add_emb.astype(self.dtype))
-
-        context = encoder_hidden_states.astype(self.dtype)
-        x = _conv(cfg.block_out_channels[0], dtype=self.dtype, name="conv_in")(
-            sample.astype(self.dtype)
-        )
-
-        # ---- down
-        skips = [x]
-        heads = cfg.heads_per_level
-        for lvl, btype in enumerate(cfg.down_block_types):
-            ch = cfg.block_out_channels[lvl]
-            last = lvl == len(cfg.down_block_types) - 1
-            lname = f"down_blocks.{lvl}"
-            if btype == "CrossAttnDownBlock2D":
-                x, s = CrossAttnDownBlock(
-                    cfg, ch, heads[lvl], cfg.transformer_layers_per_block[lvl],
-                    not last, self.dtype, name=f"down_blocks_{lvl}",
-                    layer_name=lname,
-                )(x, emb, context, controls, capture, aux)
-            else:
-                x, s = DownBlock(
-                    cfg, ch, not last, self.dtype, name=f"down_blocks_{lvl}",
-                    layer_name=lname,
-                )(x, emb, controls)
-            skips += s
-
-        # ---- mid
-        x = MidBlock(
-            cfg, cfg.block_out_channels[-1], heads[-1],
-            cfg.transformer_layers_per_block[-1], self.dtype, name="mid_block",
-        )(x, emb, context, controls, capture, aux)
-
-        # ---- up
-        rev_channels = list(reversed(cfg.block_out_channels))
-        rev_heads = list(reversed(heads))
-        rev_depth = list(reversed(cfg.transformer_layers_per_block))
-        for lvl, btype in enumerate(cfg.up_block_types):
-            ch = rev_channels[lvl]
-            last = lvl == len(cfg.up_block_types) - 1
-            lname = f"up_blocks.{lvl}"
-            if btype == "CrossAttnUpBlock2D":
-                x = CrossAttnUpBlock(
-                    cfg, ch, rev_heads[lvl], rev_depth[lvl], not last,
-                    self.dtype, name=f"up_blocks_{lvl}", layer_name=lname,
-                )(x, skips, emb, context, controls, capture, aux)
-            else:
-                x = UpBlock(
-                    cfg, ch, not last, self.dtype, name=f"up_blocks_{lvl}",
-                    layer_name=lname,
-                )(x, skips, emb, controls, capture, aux)
-
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
-                         dtype=self.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
-        x = _conv(cfg.out_channels, dtype=self.dtype, name="conv_out")(x)
-        return x, aux
+        emb = self.embed_time(timesteps, sample.shape[0], added_cond)
+        enc = self.encode(sample, emb, encoder_hidden_states, controls, capture)
+        return self.decode(enc, emb, encoder_hidden_states, controls, capture)

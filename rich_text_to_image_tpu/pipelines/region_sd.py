@@ -34,7 +34,12 @@ import numpy as np
 from ..models import config as cfgs
 from ..models.clip import CLIPTextModel
 from ..models.tokenizer import CLIPTokenizer
-from ..models.unet import CaptureSpec, UNet2DCondition, UNetControls
+from ..models.unet import (
+    EMPTY_CAPTURE,
+    CaptureSpec,
+    UNet2DCondition,
+    UNetControls,
+)
 from ..models.vae import AutoencoderKL
 from ..ops.attention import make_token_weight_vectors
 from ..schedulers import PNDMScheduler
@@ -56,6 +61,11 @@ class RichControlSpec:
     use_guidance: bool = False
     guidance_start_step: int = 999
     color_guidance_weight: float = 1.0
+    # Encoder-reuse turbo ("Faster Diffusion", arXiv 2312.09608; PAPERS.md):
+    # 1 = off (exact reference math). N>1 = recompute the UNet down path
+    # only on key steps (every Nth), reuse the cached (x, skips) between —
+    # opt-in approximation the reference has no counterpart for.
+    encoder_reuse: int = 1
 
 
 class RegionDiffusion:
@@ -438,6 +448,7 @@ class RegionDiffusion:
         inject_selfattn: float = 0.0,
         inject_background: float = 0.0,
         seed: int = 0,
+        encoder_reuse: int = 1,
     ) -> np.ndarray:
         """Rich region-based sampling (reference region_diffusion.py:248-273).
 
@@ -455,6 +466,7 @@ class RegionDiffusion:
             color_guidance_weight=text_format_dict.get(
                 "color_guidance_weight", 1.0
             ),
+            encoder_reuse=int(encoder_reuse),
         )
         lat = self.produce_latents(
             embeds,
@@ -543,8 +555,14 @@ class RegionDiffusion:
             target_rgb = jnp.zeros((1, 3))
             color_all = jnp.zeros((1, h, w, 1))
 
+        # encoder-reuse key steps: every Nth step recomputes the down path
+        # (step 0 is always a key step, so the scan-carry cache init is
+        # never consumed before being written)
+        stride = max(int(spec.encoder_reuse), 1)
+        enc_gates = (np.arange(S) % stride == 0)
+
         fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
-                           tw is not None)
+                           tw is not None, stride > 1)
         lat = fn(
             self.unet_params,
             self.vae_params,
@@ -564,14 +582,15 @@ class RegionDiffusion:
                 target_rgb=target_rgb,
                 color_all=color_all,
                 color_w=jnp.float32(spec.color_guidance_weight),
+                enc_gates=jnp.asarray(enc_gates),
             ),
         )
         return lat
 
     def _rich_fn(self, latent_hw, num_steps, n_styles, run_reference,
-                 use_grad, use_tw):
+                 use_grad, use_tw, enc_reuse=False):
         key = ("rich", latent_hw, num_steps, n_styles, run_reference,
-               use_grad, use_tw)
+               use_grad, use_tw, enc_reuse)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
@@ -594,11 +613,53 @@ class RegionDiffusion:
                 lambda vp, z: vae.apply(vp, z, method=vae.decode)
             )
 
+            def unet_fwd(x, t, e, controls, capture, enc_cache):
+                """embed_time → (encode | scan-carried cache) → decode.
+
+                With encoder reuse on, ``enc_cache`` is (gate, cached-enc):
+                on key steps the down path recomputes (lax.cond — XLA runs
+                only the taken branch), otherwise the cached (x, skips)
+                pytree feeds the decoder, which always runs with the
+                *current* time embedding (arXiv 2312.09608 §4).
+                """
+                emb = unet.apply(params, t, x.shape[0], None,
+                                 method=unet.embed_time)
+
+                def enc_now(_):
+                    return unet.apply(params, x, emb, e, controls, capture,
+                                      method=unet.encode)
+
+                if enc_cache is None:
+                    enc = enc_now(None)
+                else:
+                    gate_enc, cached = enc_cache
+                    enc = jax.lax.cond(gate_enc, enc_now, lambda c: c, cached)
+                eps, aux = unet.apply(params, enc, emb, e, controls, capture,
+                                      method=unet.decode)
+                return eps, aux, enc
+
+            def _zero_enc(batch, e, capture):
+                """Zeros with encode()'s output structure (cache init; step 0
+                is always a key step so these are never consumed)."""
+
+                def f(p, lat1, ee):
+                    x = jnp.concatenate([lat1] * batch, axis=0)
+                    emb = unet.apply(p, jnp.int32(0), batch, None,
+                                     method=unet.embed_time)
+                    return unet.apply(p, x, emb, ee, None, capture,
+                                      method=unet.encode)
+
+                shapes = jax.eval_shape(f, params, latents, e)
+                return jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+
             def body(carry, i):
-                lat_all, st = carry
+                lat_all, st, enc_carry = carry
                 lat = lat_all[0:1]
                 t = plan.timesteps[i]
                 gate = ctl["inject_gates"][i]
+                enc_gate = ctl["enc_gates"][i]
                 lat_in = sched.scale_model_input(plan, i, lat)
 
                 if run_reference:
@@ -614,11 +675,11 @@ class RegionDiffusion:
                         twa = twa.at[1].set(ctl["tw_rows"][-1])
                         tsa = jnp.ones((4, 77), jnp.float32)
                         tsa = tsa.at[1].set(ctl["ts_rows"][-1])
-                    eps_a, aux = unet.apply(
-                        params, xa, t, ea,
-                        controls=UNetControls(token_weights=twa,
-                                              token_signs=tsa),
-                        capture=capture_ref,
+                    eps_a, aux, enc_a = unet_fwd(
+                        xa, t, ea,
+                        UNetControls(token_weights=twa, token_signs=tsa),
+                        capture_ref,
+                        (enc_gate, enc_carry[0]) if enc_reuse else None,
                     )
                     eps_a = eps_a.astype(jnp.float32)
                     inj_qk = {
@@ -633,9 +694,12 @@ class RegionDiffusion:
                     )
                     xb = constrain(jnp.tile(lat_in, (R, 1, 1, 1)))
                     eb = embeds[1 : 1 + R]
-                    eps_b, _ = unet.apply(params, xb, t, eb,
-                                          controls=controls_b)
+                    eps_b, _, enc_b = unet_fwd(
+                        xb, t, eb, controls_b, EMPTY_CAPTURE,
+                        (enc_gate, enc_carry[1]) if enc_reuse else None,
+                    )
                     eps_b = eps_b.astype(jnp.float32)
+                    enc_new = (enc_a, enc_b) if enc_reuse else ()
                     eps_uncond = eps_a[0:1]
                     eps_base = eps_a[1:2]
                     eps_spans = eps_b
@@ -645,8 +709,11 @@ class RegionDiffusion:
                     controls = UNetControls(
                         token_weights=ctl["tw_rows"], token_signs=ctl["ts_rows"]
                     ) if use_tw else None
-                    eps_all, _ = unet.apply(params, x, t, embeds,
-                                            controls=controls)
+                    eps_all, _, enc_x = unet_fwd(
+                        x, t, embeds, controls, EMPTY_CAPTURE,
+                        (enc_gate, enc_carry[0]) if enc_reuse else None,
+                    )
+                    enc_new = (enc_x,) if enc_reuse else ()
                     eps_all = eps_all.astype(jnp.float32)
                     eps_uncond = eps_all[0:1]
                     eps_spans = eps_all[1 : 1 + R]
@@ -712,15 +779,23 @@ class RegionDiffusion:
                     lat_all_new = jnp.concatenate([lat, lat_ref], axis=0)
                 else:
                     lat_all_new = lat
-                return (lat_all_new, st_new), None
+                return (lat_all_new, st_new, enc_new), None
 
             lat0 = (
                 jnp.concatenate([latents, latents], axis=0)
                 if run_reference
                 else latents
             )
-            (lat_fin, _), _ = jax.lax.scan(
-                body, (lat0, st0), jnp.arange(num_steps)
+            if not enc_reuse:
+                enc0 = ()
+            elif run_reference:
+                ea0 = jnp.stack([embeds[0], embeds[-1], embeds[0], embeds[-1]])
+                enc0 = (_zero_enc(4, ea0, capture_ref),
+                        _zero_enc(R, embeds[1 : 1 + R], EMPTY_CAPTURE))
+            else:
+                enc0 = (_zero_enc(R + 2, embeds, EMPTY_CAPTURE),)
+            (lat_fin, _, _), _ = jax.lax.scan(
+                body, (lat0, st0, enc0), jnp.arange(num_steps)
             )
             return lat_fin[0:1]
 

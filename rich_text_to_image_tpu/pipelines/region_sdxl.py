@@ -31,7 +31,12 @@ import numpy as np
 from ..models import config as cfgs
 from ..models.clip import CLIPTextModel
 from ..models.tokenizer import CLIPTokenizer
-from ..models.unet import CaptureSpec, UNet2DCondition, UNetControls
+from ..models.unet import (
+    EMPTY_CAPTURE,
+    CaptureSpec,
+    UNet2DCondition,
+    UNetControls,
+)
 from ..models.vae import AutoencoderKL
 from ..ops.attention import make_token_weight_vectors
 from ..schedulers import EulerDiscreteScheduler
@@ -344,6 +349,7 @@ class RegionDiffusionXL:
         original_size: Optional[tuple] = None,
         crops_coords_top_left: tuple = (0, 0),
         target_size: Optional[tuple] = None,
+        encoder_reuse: int = 1,
     ):
         """Reference single-entry sample() (region_diffusion_sdxl.py:555):
         plain branch when run_rich_text=False, rich branch otherwise."""
@@ -393,6 +399,7 @@ class RegionDiffusionXL:
                     "guidance_start_step", 999),
                 color_guidance_weight=(text_format_dict or {}).get(
                     "color_guidance_weight", 1.0),
+                encoder_reuse=int(encoder_reuse),
             ),
             dict(text_format_dict or {}), latents, (height, width),
         )
@@ -412,7 +419,8 @@ class RegionDiffusionXL:
     def prompt_to_img(self, prompts, negative_prompts="", height=1024,
                       width=1024, num_inference_steps=50, guidance_scale=5.0,
                       latents=None, text_format_dict=None, use_guidance=False,
-                      inject_selfattn=0.0, inject_background=0.0, seed=0):
+                      inject_selfattn=0.0, inject_background=0.0, seed=0,
+                      encoder_reuse=1):
         return self.sample(
             prompts, negative_prompts, height=height, width=width,
             num_inference_steps=num_inference_steps,
@@ -420,6 +428,7 @@ class RegionDiffusionXL:
             use_guidance=use_guidance, inject_selfattn=inject_selfattn,
             inject_background=inject_background,
             text_format_dict=text_format_dict, latents=latents, seed=seed,
+            encoder_reuse=encoder_reuse,
         )
 
     # ------------------------------------------------------------ plain fn
@@ -540,7 +549,11 @@ class RegionDiffusionXL:
             target_rgb = jnp.zeros((1, 3))
             color_all = jnp.zeros((1, h, w, 1))
 
-        fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad, use_tw)
+        stride = max(int(spec.encoder_reuse), 1)
+        enc_gates = (np.arange(S) % stride == 0)
+
+        fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
+                           use_tw, stride > 1)
         lat = fn(
             self.unet_params, self.vae_params, latents, embeds, pooled,
             time_ids, masks, plan,
@@ -557,14 +570,15 @@ class RegionDiffusionXL:
                 target_rgb=target_rgb,
                 color_all=color_all,
                 color_w=jnp.float32(spec.color_guidance_weight),
+                enc_gates=jnp.asarray(enc_gates),
             ),
         )
         return self.decode_latents(lat)
 
     def _rich_fn(self, latent_hw, num_steps, n_styles, run_reference,
-                 use_grad, use_tw):
+                 use_grad, use_tw, enc_reuse=False):
         key = ("rich", latent_hw, num_steps, n_styles, run_reference,
-               use_grad, use_tw)
+               use_grad, use_tw, enc_reuse)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
@@ -585,10 +599,48 @@ class RegionDiffusionXL:
                 lambda vp, z: vae.apply(vp, z, method=vae.decode)
             )
 
+            def unet_fwd(x, t, e, added, controls, capture, enc_cache):
+                """embed_time → (encode | scan-carried cache) → decode.
+                See RegionDiffusion._rich_fn.unet_fwd (arXiv 2312.09608)."""
+                emb = unet.apply(params, t, x.shape[0], added,
+                                 method=unet.embed_time)
+
+                def enc_now(_):
+                    return unet.apply(params, x, emb, e, controls, capture,
+                                      method=unet.encode)
+
+                if enc_cache is None:
+                    enc = enc_now(None)
+                else:
+                    gate_enc, cached = enc_cache
+                    enc = jax.lax.cond(gate_enc, enc_now, lambda c: c, cached)
+                eps, aux = unet.apply(params, enc, emb, e, controls, capture,
+                                      method=unet.decode)
+                return eps, aux, enc
+
+            def _zero_enc(batch, e, capture):
+                def f(p, lat1, ee, pool1, tid):
+                    x = jnp.concatenate([lat1] * batch, axis=0)
+                    added = {
+                        "text_embeds": jnp.concatenate([pool1[0:1]] * batch, 0),
+                        "time_ids": jnp.tile(tid, (batch, 1)),
+                    }
+                    emb = unet.apply(p, jnp.int32(0), batch, added,
+                                     method=unet.embed_time)
+                    return unet.apply(p, x, emb, ee, None, capture,
+                                      method=unet.encode)
+
+                shapes = jax.eval_shape(f, params, latents, e, pooled,
+                                        time_ids)
+                return jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+
             def body(carry, i):
-                lat, lat_ref = carry
+                lat, lat_ref, enc_carry = carry
                 t = plan.timesteps[i]
                 gate = ctl["inject_gates"][i]
+                enc_gate = ctl["enc_gates"][i]
                 x_in = sched.scale_model_input(plan, i, lat)
 
                 if run_reference:
@@ -606,13 +658,13 @@ class RegionDiffusionXL:
                             ctl["tw_rows"][-1])
                         tsa = jnp.ones((4, 77), jnp.float32).at[1].set(
                             ctl["ts_rows"][-1])
-                    eps_a, aux = unet.apply(
-                        params, xa, t, ea,
-                        added_cond={"text_embeds": pa,
-                                    "time_ids": jnp.tile(time_ids, (4, 1))},
-                        controls=UNetControls(token_weights=twa,
-                                              token_signs=tsa),
-                        capture=capture_ref,
+                    eps_a, aux, enc_a = unet_fwd(
+                        xa, t, ea,
+                        {"text_embeds": pa,
+                         "time_ids": jnp.tile(time_ids, (4, 1))},
+                        UNetControls(token_weights=twa, token_signs=tsa),
+                        capture_ref,
+                        (enc_gate, enc_carry[0]) if enc_reuse else None,
                     )
                     eps_a = eps_a.astype(jnp.float32)
                     inj_qk = {n: (q[3:4], k[3:4])
@@ -620,18 +672,19 @@ class RegionDiffusionXL:
                     inj_res = {n: f[3:4]
                                for n, f in aux["resnet_hidden"].items()}
                     xb = constrain(jnp.tile(x_in, (R, 1, 1, 1)))
-                    eps_b, _ = unet.apply(
-                        params, xb, t, embeds[1:1 + R],
-                        added_cond={
-                            "text_embeds": pooled[1:1 + R],
-                            "time_ids": jnp.tile(time_ids, (R, 1)),
-                        },
-                        controls=UNetControls(
+                    eps_b, _, enc_b = unet_fwd(
+                        xb, t, embeds[1:1 + R],
+                        {"text_embeds": pooled[1:1 + R],
+                         "time_ids": jnp.tile(time_ids, (R, 1))},
+                        UNetControls(
                             inject_gate=gate, inject_qk=inj_qk,
                             inject_resnet=inj_res,
                         ),
+                        EMPTY_CAPTURE,
+                        (enc_gate, enc_carry[1]) if enc_reuse else None,
                     )
                     eps_b = eps_b.astype(jnp.float32)
+                    enc_new = (enc_a, enc_b) if enc_reuse else ()
                     eps_uncond, eps_base = eps_a[0:1], eps_a[1:2]
                     eps_spans = eps_b
                     eps_ref = eps_a[2:3] + ctl["g"] * (eps_a[3:4] - eps_a[2:3])
@@ -641,12 +694,14 @@ class RegionDiffusionXL:
                         token_weights=ctl["tw_rows"],
                         token_signs=ctl["ts_rows"],
                     ) if use_tw else None
-                    eps_all, _ = unet.apply(
-                        params, x, t, embeds,
-                        added_cond={"text_embeds": pooled,
-                                    "time_ids": jnp.tile(time_ids, (R + 2, 1))},
-                        controls=controls,
+                    eps_all, _, enc_x = unet_fwd(
+                        x, t, embeds,
+                        {"text_embeds": pooled,
+                         "time_ids": jnp.tile(time_ids, (R + 2, 1))},
+                        controls, EMPTY_CAPTURE,
+                        (enc_gate, enc_carry[0]) if enc_reuse else None,
                     )
+                    enc_new = (enc_x,) if enc_reuse else ()
                     eps_all = eps_all.astype(jnp.float32)
                     eps_uncond = eps_all[0:1]
                     eps_spans = eps_all[1:1 + R]
@@ -703,11 +758,19 @@ class RegionDiffusionXL:
                         + lat * (1 - masks[-1][None]),
                         lat,
                     )
-                return (lat, lat_ref_new), None
+                return (lat, lat_ref_new, enc_new), None
 
             lat_ref0 = latents if run_reference else jnp.zeros_like(latents)
-            (lat, _), _ = jax.lax.scan(
-                body, (latents, lat_ref0), jnp.arange(num_steps)
+            if not enc_reuse:
+                enc0 = ()
+            elif run_reference:
+                ea0 = jnp.stack([embeds[0], embeds[-1], embeds[0], embeds[-1]])
+                enc0 = (_zero_enc(4, ea0, capture_ref),
+                        _zero_enc(R, embeds[1:1 + R], EMPTY_CAPTURE))
+            else:
+                enc0 = (_zero_enc(R + 2, embeds, EMPTY_CAPTURE),)
+            (lat, _, _), _ = jax.lax.scan(
+                body, (latents, lat_ref0, enc0), jnp.arange(num_steps)
             )
             return lat
 
