@@ -50,6 +50,11 @@ def make_parser():
     p.add_argument("--load_previous", action="store_true",
                    help="re-score previously saved images instead of "
                         "regenerating (reference benchmark_color.py:280-282)")
+    p.add_argument("--batch_colors", type=int, default=1,
+                   help="TPU batch-DP: run N colors per (seed,prompt) in ONE "
+                        "scan, sharing the reference-trajectory rows "
+                        "(RegionDiffusion.color_bench_batch). 1 = the "
+                        "reference's sequential loop")
     return p
 
 
@@ -108,6 +113,33 @@ def run(args, model=None):
                     resize_bicubic(np.asarray(masks[0]), (height, width))
                 ).clip(0, 1)[0]
 
+            # --- batched fast path: all colors of this (seed, prompt) in
+            # chunked single-scan calls (reference rows shared per chunk)
+            pre_imgs = {}
+            if args.batch_colors > 1 and not args.load_previous:
+                todo = list(colors.items())
+                if args.limit:
+                    todo = todo[: max(args.limit - n_done, 0)]
+                for c0 in range(0, len(todo), args.batch_colors):
+                    chunk = todo[c0:c0 + args.batch_colors]
+                    rgbs = np.stack([
+                        np.asarray(v, np.float64) / 255.0 for _, v in chunk
+                    ])
+                    region_prompts = [
+                        f"{find_nearest_color(r)} {object_name}" for r in rgbs
+                    ]
+                    imgs = model.color_bench_batch(
+                        region_prompts, text_prompt,
+                        rgbs.astype(np.float32), region_mask_px,
+                        height, width, args.steps, GUIDANCE_SCALE,
+                        seed=seed, latents=latent,
+                        color_guidance_weight=fmt_base[
+                            "color_guidance_weight"],
+                        guidance_start_step=fmt_base["guidance_start_step"],
+                    )
+                    for (cname, _), img in zip(chunk, imgs):
+                        pre_imgs[cname] = img[None]
+
             for color_name, rgb255 in colors.items():
                 if args.limit and n_done >= args.limit:
                     break
@@ -122,6 +154,8 @@ def run(args, model=None):
                     from PIL import Image
 
                     img_ours = np.asarray(Image.open(ours_name))[None]
+                elif color_name in pre_imgs:
+                    img_ours = pre_imgs[color_name]
                 else:
                     fmt = dict(fmt_base)
                     fmt["target_RGB"] = [rgb.astype(np.float32)]

@@ -81,8 +81,11 @@ INJECT_RESNET_NAME = "up_blocks.1.resnets.1"
 
 
 def _use_flash(seq: int) -> bool:
-    # below ~512 tokens the fused XLA path beats kernel launch overhead
-    return seq >= 512
+    # below ~512 tokens the fused XLA path beats kernel launch overhead;
+    # on the CPU backend (full-size models in tests/benchmarks) the Pallas
+    # kernels would need interpret mode — orders of magnitude slower than
+    # XLA's fused attention — so CPU always takes the XLA path
+    return seq >= 512 and jax.default_backend() != "cpu"
 
 
 # ------------------------------------------------------------------- helpers

@@ -81,6 +81,26 @@ def test_benchmark_color_tiny_run():
 
 
 @pytest.mark.slow
+def test_benchmark_color_batched_run():
+    """--batch_colors plumbing end-to-end (batched scan → scoring)."""
+    from rich_text_to_image_tpu.evaluation import benchmark_color as bc
+    from rich_text_to_image_tpu.models import config as cfg
+    from rich_text_to_image_tpu.pipelines.region_sd import RegionDiffusion
+
+    model = RegionDiffusion.random_init(
+        seed=0, unet_cfg=cfg.TINY_UNET, vae_cfg=cfg.TINY_VAE,
+        text_cfg=cfg.TINY_TEXT, agg_start_step=3,
+    )
+    args = bc.make_parser().parse_args(
+        ["--limit", "3", "--num_seeds", "1", "--steps", "8",
+         "--batch_colors", "2", "--save_path", "/tmp/test_bench_color_b"]
+    )
+    summary = bc.run(args, model=model)
+    assert summary["ours_min"]["n"] == 3
+    assert np.isfinite(summary["ours_min"]["mean"])
+
+
+@pytest.mark.slow
 def test_benchmark_style_tiny_run():
     from rich_text_to_image_tpu.evaluation import benchmark_style as bs
     from rich_text_to_image_tpu.models import config as cfg
