@@ -42,6 +42,10 @@ def make_parser():
     p.add_argument("--load_previous", action="store_true",
                    help="re-score previously saved images instead of "
                         "regenerating (reference benchmark_style.py)")
+    p.add_argument("--batch_pairs", type=int, default=1,
+                   help="TPU batch-DP: run N style pairs per (seed,scene) "
+                        "in ONE scan (RegionDiffusion.style_bench_batch). "
+                        "1 = the reference's sequential loop")
     return p
 
 
@@ -109,6 +113,28 @@ def run(args, model=None, scorer=None):
                     .clip(0, 1)[0]
                     for m in masks
                 ]
+            # --- batched fast path: style pairs of this (seed, scene) in
+            # chunked single-scan calls
+            pre_imgs = {}
+            if args.batch_pairs > 1 and not args.load_previous:
+                todo = [(s1, s2) for s1 in STYLES for s2 in STYLES
+                        if s1 != s2]
+                if args.limit:
+                    todo = todo[: max(args.limit - n_done, 0)]
+                for c0 in range(0, len(todo), args.batch_pairs):
+                    chunk = todo[c0:c0 + args.batch_pairs]
+                    items = [
+                        [f"{regions[0]} in the style of {s1}",
+                         f"{regions[1]} in the style of {s2}", scene]
+                        for s1, s2 in chunk
+                    ]
+                    imgs = model.style_bench_batch(
+                        items, height, width, args.steps, GUIDANCE_SCALE,
+                        seed=seed, latents=latent,
+                    )
+                    for (s1, s2), im in zip(chunk, imgs):
+                        pre_imgs[(s1, s2)] = im[None]
+
             for s1 in STYLES:
                 for s2 in STYLES:
                     if s1 == s2:
@@ -129,6 +155,12 @@ def run(args, model=None, scorer=None):
                         from PIL import Image
 
                         img = np.asarray(Image.open(ours_name))[None]
+                    elif (s1, s2) in pre_imgs:
+                        img = pre_imgs[(s1, s2)]
+                        if args.save_img:
+                            from PIL import Image
+
+                            Image.fromarray(img[0]).save(ours_name)
                     else:
                         img = model.prompt_to_img(
                             rich, [""], height=height, width=width,

@@ -993,6 +993,96 @@ class RegionDiffusion:
         self._jit_cache[key] = run
         return run
 
+    # ----------------------------------------------- batched style benchmark
+    def style_bench_batch(
+        self,
+        item_prompts: Sequence[Sequence[str]],  # K × (R+1): spans..., base
+        height: int,
+        width: int,
+        num_inference_steps: int,
+        guidance_scale: float,
+        seed: int = 0,
+        latents: Optional[jnp.ndarray] = None,  # [1,h,w,4] shared init
+    ) -> np.ndarray:
+        """K style-benchmark items in ONE scan (TPU-native batch-DP).
+
+        The reference loops style pairs sequentially
+        (benchmark_style.py:112-142); within one (seed, scene) the masks
+        and initial latent are shared and the rich pass uses no
+        injection/guidance, so K items batch into one UNet call of
+        K·(R+2) rows — the item axis dp-shards under a mesh. Per-item
+        results match the sequential prompt_to_img (differential-tested).
+
+        Returns uint8 images [K, H, W, 3].
+        """
+        K = len(item_prompts)
+        R = len(self.masks) - 1
+        assert all(len(p) == R + 1 for p in item_prompts)
+        h, w = height // self.vae_scale_factor, width // self.vae_scale_factor
+        flat = [p for item in item_prompts for p in item]
+        embeds = self.get_text_embeds(flat, [""])  # [1 + K*(R+1), 77, D]
+        item_e = embeds[1:].reshape(K, R + 1, *embeds.shape[1:])
+        uncond = jnp.tile(embeds[0][None, None], (K, 1, 1, 1))
+        item_e = jnp.concatenate([uncond, item_e], axis=1)  # [K, R+2, ...]
+        if latents is None:
+            latents = jax.random.normal(
+                jax.random.PRNGKey(seed), (1, h, w, self.unet_cfg.in_channels)
+            )
+        plan = self.scheduler.plan(num_inference_steps)
+        lat0 = jnp.tile(latents * getattr(plan, "init_noise_sigma", 1.0),
+                        (K, 1, 1, 1))
+        masks = jnp.asarray(
+            np.stack([np.asarray(m).reshape(h, w) for m in self.masks])
+        )[..., None]  # [R+1, h, w, 1]
+
+        fn = self._stylebatch_fn((h, w), plan.num_steps, R + 1, K)
+        lat = fn(self.unet_params, lat0, item_e, masks, _plan_arrays(plan),
+                 jnp.float32(guidance_scale))
+        return self.decode_latents(lat)
+
+    def _stylebatch_fn(self, latent_hw, num_steps, n_styles, K):
+        key = ("stylebatch", latent_hw, num_steps, n_styles, K)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        sched = self.scheduler
+        unet = self.unet
+        constrain = self._constrain_batch
+        R = n_styles - 1
+        B = n_styles + 1  # rows per item: uncond, spans..., base
+
+        @jax.jit
+        def run(params, lat0, item_e, masks, plan, g):
+            st0 = sched.init_state(lat0.shape)
+            e_flat = item_e.reshape(K * B, *item_e.shape[2:])
+
+            def body(carry, i):
+                lat, st = carry
+                t = plan.timesteps[i]
+                lat_in = sched.scale_model_input(plan, i, lat)  # [K,...]
+                x = constrain(
+                    jnp.repeat(lat_in, B, axis=0)
+                )  # [K*B,...] items-major
+                eps, _ = unet.apply(params, x, t, e_flat)
+                eps = eps.astype(jnp.float32).reshape(K, B, *lat.shape[1:])
+                mask_sum = masks.sum(0)  # [h,w,1]
+                noise_uncond = eps[:, 0] * mask_sum[None]
+                noise_text = eps[:, -1] * masks[-1][None]
+                if R > 0:
+                    noise_text = noise_text + jnp.einsum(
+                        "krhwc,rhwc->khwc", eps[:, 1:1 + R], masks[:-1]
+                    )
+                noise = noise_uncond + g * (noise_text - noise_uncond)
+                lat, st = sched.step(plan, i, st, noise, lat)
+                return (lat, st), None
+
+            (lat, _), _ = jax.lax.scan(
+                body, (lat0, st0), jnp.arange(num_steps)
+            )
+            return lat
+
+        self._jit_cache[key] = run
+        return run
+
     # --------------------------------------------------------------- helper
     def predict_x0(self, x_t, eps_t, t: int):
         a = float(self.scheduler.alphas_cumprod[int(t)])

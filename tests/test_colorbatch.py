@@ -83,6 +83,40 @@ def test_colorbatch_matches_sequential(pipe):
         assert diff.max() <= 2, f"{name}: max |Δ| = {diff.max()}"
 
 
+def test_stylebatch_matches_sequential(pipe):
+    """style_bench_batch (pure K-item batching, R=2, no injection) must
+    reproduce sequential prompt_to_img per item (fp32 exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    lat = pipe.unet_cfg.sample_size
+    px = lat * 2 ** (len(pipe.vae_cfg.block_out_channels) - 1)
+    rng = np.random.RandomState(2)
+    soft = rng.rand(3, lat, lat).astype(np.float32)
+    soft /= soft.sum(0, keepdims=True)
+    pipe.masks = [soft[i][None] for i in range(3)]
+
+    scene = "a cat next to a dog"
+    items = [
+        ["a cat in the style of monet", "a dog in the style of van gogh",
+         scene],
+        ["a cat in the style of dali", "a dog in the style of picasso",
+         scene],
+    ]
+    latent = jax.random.normal(jax.random.PRNGKey(9), (1, lat, lat, 4))
+    batched = pipe.style_bench_batch(
+        items, px, px, 5, 8.5, seed=2, latents=jnp.asarray(latent)
+    )
+    assert batched.shape == (2, px, px, 3)
+    for k, item in enumerate(items):
+        seq = pipe.prompt_to_img(
+            item, [""], height=px, width=px, num_inference_steps=5,
+            guidance_scale=8.5, latents=jnp.asarray(latent), seed=2,
+        )
+        diff = np.abs(batched[k].astype(np.int32) - seq[0].astype(np.int32))
+        assert np.mean(diff) < 0.1 and diff.max() <= 2, f"item {k}"
+
+
 def test_colorbatch_under_mesh():
     """dp-sharded batched color bench == single-device (the item axis is
     the dp axis — SURVEY §7.6(b) batch-DP over benchmark work items)."""

@@ -101,6 +101,28 @@ def test_benchmark_color_batched_run():
 
 
 @pytest.mark.slow
+def test_benchmark_style_batched_run():
+    """--batch_pairs plumbing end-to-end (batched scan → CLIP scoring)."""
+    from rich_text_to_image_tpu.evaluation import benchmark_style as bs
+    from rich_text_to_image_tpu.models import config as cfg
+    from rich_text_to_image_tpu.pipelines.region_sd import RegionDiffusion
+    from rich_text_to_image_tpu.utils.clip_score import CLIPScorer
+
+    model = RegionDiffusion.random_init(
+        seed=0, unet_cfg=cfg.TINY_UNET, vae_cfg=cfg.TINY_VAE,
+        text_cfg=cfg.TINY_TEXT, agg_start_step=3,
+    )
+    scorer = CLIPScorer.random_init(seed=0, tokenizer=model.tokenizer)
+    args = bs.make_parser().parse_args(
+        ["--limit", "3", "--num_seeds", "1", "--steps", "8",
+         "--batch_pairs", "2", "--save_path", "/tmp/test_bench_style_b"]
+    )
+    summary = bs.run(args, model=model, scorer=scorer)
+    assert summary["ours"]["n"] == 6  # 3 items × 2 regions
+    assert np.isfinite(summary["ours"]["mean"])
+
+
+@pytest.mark.slow
 def test_benchmark_style_tiny_run():
     from rich_text_to_image_tpu.evaluation import benchmark_style as bs
     from rich_text_to_image_tpu.models import config as cfg
