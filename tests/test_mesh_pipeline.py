@@ -67,3 +67,44 @@ def test_batched_txt2img_under_mesh():
     )
     assert imgs.shape[0] == 8
     assert np.isfinite(imgs.astype(np.float64)).all()
+
+
+def test_sdxl_rich_pass_matches_under_mesh():
+    from rich_text_to_image_tpu.pipelines.region_sdxl import RegionDiffusionXL
+
+    def _make_xl(mesh=None):
+        return RegionDiffusionXL.random_init(
+            seed=0, unet_cfg=cfg.TINY_XL_UNET, vae_cfg=cfg.TINY_VAE,
+            text_cfg=cfg.TINY_TEXT,
+            text2_cfg=cfg.CLIPTextConfig(
+                vocab_size=1000, hidden_size=32, intermediate_size=64,
+                num_hidden_layers=2, num_attention_heads=2,
+                hidden_act="gelu", projection_dim=32,
+            ),
+            dtype=jnp.float32, mesh=mesh,
+        )
+
+    h = cfg.TINY_XL_UNET.sample_size
+    px = h * 2 ** (len(cfg.TINY_VAE.block_out_channels) - 1)
+    rng = np.random.RandomState(4)
+    soft = rng.rand(3, h, h).astype(np.float32)
+    soft /= soft.sum(0, keepdims=True)
+    masks = [soft[i][None] for i in range(3)]
+    latent = jnp.asarray(rng.randn(1, h, h, 4), jnp.float32)
+    prompts = ["a red rose", "a garden", "a rose garden"]
+
+    ref = _make_xl()
+    ref.masks = masks
+    out_ref = ref.prompt_to_img(
+        prompts, "", height=px, width=px, num_inference_steps=4,
+        guidance_scale=5.0, latents=latent, seed=2, inject_selfattn=0.4,
+    )
+
+    mesh_pipe = _make_xl(mesh=make_mesh(8, tp=2))  # dp=4, tp=2
+    mesh_pipe.masks = masks
+    out_mesh = mesh_pipe.prompt_to_img(
+        prompts, "", height=px, width=px, num_inference_steps=4,
+        guidance_scale=5.0, latents=latent, seed=2, inject_selfattn=0.4,
+    )
+    diff = np.abs(out_mesh.astype(np.int32) - out_ref.astype(np.int32))
+    assert diff.max() <= 2 and np.mean(diff) < 0.1
