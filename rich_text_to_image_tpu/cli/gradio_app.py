@@ -171,7 +171,11 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
         for suite, rows in example_rows(model_kind).items():
             gr.Examples(
                 examples=rows, label=suite, inputs=inputs, outputs=outs,
-                fn=generate, cache_examples=checkpoint_dir is not None,
+                fn=generate,
+                # "lazy": cache on first view instead of blocking app
+                # startup with a full diffusion run per example row
+                cache_examples="lazy" if checkpoint_dir is not None
+                else False,
             )
     return demo
 

@@ -137,7 +137,8 @@ class Conv2D(nn.Module):
         bias = bias.astype(self.dtype)
         if (pallas_conv_enabled() and k == 3 and self.stride == 1
                 and self.pad == 1
-                and conv3x3_supported(x.shape, kernel.shape)):
+                and conv3x3_supported(x.shape, kernel.shape,
+                                      jnp.dtype(self.dtype).itemsize)):
             return conv3x3(x, kernel, bias,
                            interpret=jax.default_backend() == "cpu")
         y = jax.lax.conv_general_dilated(

@@ -91,7 +91,10 @@ def _pick_tiles(H, W, C, O, itemsize=2):
     return None
 
 
-def conv3x3_supported(x_shape, w_shape) -> bool:
+def conv3x3_supported(x_shape, w_shape, itemsize: int = 2) -> bool:
+    """Gate for routing Conv2D through the Pallas kernel. ``itemsize``
+    must match the runtime dtype — the VMEM fit depends on it (a float32
+    activation needs twice the budget of bf16)."""
     if len(w_shape) != 4 or w_shape[:2] != (3, 3):
         return False
     _, H, W, C = x_shape
@@ -100,7 +103,7 @@ def conv3x3_supported(x_shape, w_shape) -> bool:
         return False  # tiny spatial dims: strip rows < sublane tile
     if C % 64 or O % 64:
         return False
-    return _pick_tiles(H, W, C, O) is not None
+    return _pick_tiles(H, W, C, O, itemsize) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

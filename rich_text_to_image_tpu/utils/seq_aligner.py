@@ -77,12 +77,18 @@ def get_replacement_mapper(
     while i < max_len and j < max_len:
         if cur < len(inds_source) and inds_source[cur][0] == i:
             src, tgt = inds_source[cur], inds_target[cur]
-            if len(src) == len(tgt):
-                mapper[src, tgt] = 1.0
-            else:
-                ratio = 1.0 / len(tgt)
-                for t in tgt:
-                    mapper[src, t] = ratio
+            # clamp to the matrix (long prompts can place a swapped word's
+            # tokens past max_len; the reference's 1-D path bounds writes
+            # by range(min(len, max_len - pos)) — seq_aligner.py:96-142)
+            src_c = [s for s in src if s < max_len]
+            tgt_c = [t for t in tgt if t < max_len]
+            if src_c and tgt_c:
+                if len(src_c) == len(tgt_c):
+                    mapper[src_c, tgt_c] = 1.0
+                else:
+                    ratio = 1.0 / len(tgt_c)
+                    for t in tgt_c:
+                        mapper[src_c, t] = ratio
             cur += 1
             i += len(src)
             j += len(tgt)

@@ -176,10 +176,10 @@ def get_token_maps(
             [[m[None] for m in foreground], masks], obj_tokens,
             save_dir, seed, tokens_vis=tokens_vis,
         )
-    if save_attn:
+    if save_attn and save_dir is not None:
         import os
 
-        maps_dir = os.path.join(save_dir or ".", "maps")
+        maps_dir = os.path.join(save_dir, "maps")
         os.makedirs(maps_dir, exist_ok=True)
         np.save(os.path.join(maps_dir, "selfattn_maps.npy"), affinity)
         np.save(os.path.join(maps_dir, "crossattn_maps.npy"), cross)

@@ -170,6 +170,21 @@ def test_replacement_mapper_fractional_weights():
     np.testing.assert_allclose(m[src].sum(-1), 1.0)
 
 
+def test_replacement_mapper_long_prompt_clamps():
+    """A swap whose tokens land past max_len must clamp, not IndexError
+    (the reference's 1-D path bounds writes by max_len)."""
+    from rich_text_to_image_tpu.models.tokenizer import CLIPTokenizer
+    from rich_text_to_image_tpu.utils.seq_aligner import get_replacement_mapper
+
+    tok = CLIPTokenizer.byte_level()
+    filler = "word " * 76
+    base = filler + "cat"
+    edit = filler + "dog"
+    m = get_replacement_mapper(base, edit, tok, max_len=77)
+    assert m.shape == (77, 77)
+    assert np.isfinite(m).all()
+
+
 @pytest.mark.slow
 def test_p2p_replace_unequal_lengths_e2e(pipe):
     """The fractional Replace path runs end-to-end (previously raised)."""
