@@ -61,7 +61,8 @@ def test_batch_row_matches_plain_pass():
     )
     lat_batch = bfn(pipe.unet_params, latents,
                     jnp.concatenate([uncond, cond], axis=0),
-                    _plan_arrays(plan), jnp.float32(7.5))
+                    _plan_arrays(plan), jnp.float32(7.5),
+                    jnp.ones((plan.num_steps,), bool))
     np.testing.assert_allclose(
         np.asarray(lat_batch[0]), np.asarray(lat_single[0]),
         rtol=1e-3, atol=1e-4,

@@ -93,6 +93,22 @@ def test_reuse_with_reference_injection(pipe):
     assert np.isfinite(out.astype(np.float32)).all()
 
 
+def test_reuse_batched_txt2img(pipe):
+    px = _setup_masks(pipe)
+    kw = dict(height=px, width=px, num_inference_steps=1, seed=4)
+    base = pipe.text_to_images(["a cat", "a dog"], **kw)
+    reuse = pipe.text_to_images(["a cat", "a dog"], encoder_reuse=2, **kw)
+    # 1 step ⇒ key step only ⇒ exact
+    np.testing.assert_allclose(
+        base.astype(np.float32), reuse.astype(np.float32), atol=1.0
+    )
+    turbo = pipe.text_to_images(
+        ["a cat", "a dog"], height=px, width=px, num_inference_steps=4,
+        encoder_reuse=2, seed=4,
+    )
+    assert np.isfinite(turbo.astype(np.float32)).all()
+
+
 def test_reuse_sdxl(pipe_xl):
     px = _setup_masks(pipe_xl)
     prompts = ["a red rose", "a green bush", "a rose bush"]
