@@ -80,18 +80,29 @@ def _full_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
-# VMEM working-set cap for the full-row path: K+V (bf16) + scores (fp32)
-# + probs (bf16) per instance, with headroom for double-buffered q/out tiles.
+# VMEM working-set cap for the full-row path: K+V (bf16) + per-row buffers
+# per instance, with headroom for double-buffered q/out tiles.
 _FULL_PATH_VMEM = 12 * 1024 * 1024
 
 
-def _full_path_layout(sq: int, skv_p: int, dp: int, itemsize: int):
-    """Pick blk_q for the full-row kernel, or None if it can't fit VMEM."""
+def _full_path_layout(sq: int, skv_p: int, dp: int, itemsize: int,
+                      row_elem_bytes: int | None = None):
+    """Pick blk_q for a full-row kernel, or None if it can't fit VMEM.
+
+    ``row_elem_bytes`` models the per-element VMEM cost of the [blk_q,
+    skv_p] row buffers: the plain kernel keeps scores fp32 + probs in the
+    storage dtype (4 + itemsize, the default); the capture-fused
+    avg-probs kernel additionally holds pn fp32 + the pavg accumulator
+    fp32 (12 + itemsize). Shared by both kernels so their entry
+    conditions stay in lockstep.
+    """
+    if row_elem_bytes is None:
+        row_elem_bytes = 4 + itemsize
     kv_bytes = 2 * skv_p * dp * itemsize
     for blk_q in (1024, 512, 256, 128):
         if blk_q > _round_up(sq, 8):
             continue
-        s_bytes = blk_q * skv_p * 4 + blk_q * skv_p * itemsize
+        s_bytes = blk_q * skv_p * row_elem_bytes
         q_bytes = 2 * 2 * blk_q * dp * itemsize  # double-buffered q + out
         if kv_bytes + s_bytes + q_bytes <= _FULL_PATH_VMEM:
             return blk_q
@@ -161,15 +172,12 @@ def flash_attention_avg_probs(
     dp = _round_up(d, 128)
     itemsize = jnp.dtype(q.dtype).itemsize
     skv_p = _round_up(skv, 128)
-    blk_q = _full_path_layout(sq, skv_p, dp, itemsize)
+    # row buffers: s fp32 + pn fp32 + pavg fp32 + p in storage dtype
+    blk_q = _full_path_layout(sq, skv_p, dp, itemsize,
+                              row_elem_bytes=12 + itemsize)
     if blk_q is None:
         raise ValueError(
             f"KV too large for the full-row capture kernel: S={sq}/{skv}")
-    # live per-instance row buffers: s fp32 + pn fp32 + pavg fp32 + p bf16
-    # ≈ 14 B/elem of [blk_q, skv_p]; keep them within ~10 MB of the 16 MB
-    # scoped-vmem limit (KV + q/out double buffers take the rest)
-    while blk_q > 128 and blk_q * skv_p * 14 > 10 * 1024 * 1024:
-        blk_q //= 2
     sq_p = _round_up(sq, blk_q)
 
     qs = q * jnp.asarray(scale * _LOG2E, q.dtype)
