@@ -988,26 +988,35 @@ class RegionDiffusion:
                 lat, st = sched.step(plan, i, st, noise, lat)
                 ref, st_ref = sched.step(plan, i, st_ref, eps_ref, ref)
 
-                # color guidance, batched over items (loss decomposes)
-                def color_loss(l):
-                    a = ctl["alpha_raw"][i]
-                    x0 = (l - noise * jnp.sqrt(1 - a)) / jnp.sqrt(a)
-                    imgs = decode(
-                        vae_params,
-                        x0.astype(jnp.float32) / vae_cfg.scaling_factor,
-                    )
-                    imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
-                    m = ctl["color_mask_px"]  # [H, W]
-                    num = jnp.einsum("khwc,hw->kc", imgs, m)
-                    avg_rgb = num / (m.sum() + 1e-12)
-                    per = jnp.mean(
-                        (avg_rgb - ctl["target_rgb"]) ** 2, axis=1
-                    ) * 100.0
-                    return per.sum()
+                # color guidance: the loss decomposes per item, and the
+                # VAE forward+backward at batch K blows HBM (measured: K=4
+                # OOMs, K=2 schedules poorly) — lax.map serializes the
+                # decode at batch 1 (the sequential path's peak memory)
+                # while the UNet rows above stay batched
+                def color_grad_one(args):
+                    l1, n1, t1 = args  # [h,w,4], [h,w,4], [3]
+
+                    def loss1(x):
+                        a = ctl["alpha_raw"][i]
+                        x0 = (x[None] - n1[None] * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+                        imgs = decode(
+                            vae_params,
+                            x0.astype(jnp.float32) / vae_cfg.scaling_factor,
+                        )
+                        imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+                        m = ctl["color_mask_px"]  # [H, W]
+                        avg_rgb = jnp.einsum("bhwc,hw->c", imgs, m) / (
+                            m.sum() + 1e-12
+                        )
+                        return jnp.mean((avg_rgb - t1) ** 2) * 100.0
+
+                    return jax.grad(loss1)(l1)
 
                 def guided(l):
-                    grad = jax.grad(color_loss)(l)
-                    return l - grad * ctl["color_w"] * ctl["color_all"]
+                    grads = jax.lax.map(
+                        color_grad_one, (l, noise, ctl["target_rgb"])
+                    )
+                    return l - grads * ctl["color_w"] * ctl["color_all"]
 
                 lat = jax.lax.cond(
                     ctl["guidance_gates"][i], guided, lambda l: l, lat
