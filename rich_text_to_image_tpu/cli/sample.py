@@ -159,6 +159,8 @@ def run_sample(model, args, param, save=True):
         text_format_dict=text_format_dict, seed=seed,
         **({"encoder_reuse": args.encoder_reuse}
            if args.encoder_reuse > 1 else {}),
+        **({"bf16_guidance": True}
+           if getattr(args, "bf16_guidance", False) else {}),
     )
     if save:
         _imwrite(os.path.join(run_dir, f"seed{seed}_rich.jpg"), rich_img[0])
@@ -217,6 +219,11 @@ def make_parser():
         "--scheduler", type=str, default=None,
         choices=["pndm", "ddim", "dpm", "euler"],
         help="override the pipeline default (SD: pndm, SDXL: euler)",
+    )
+    parser.add_argument(
+        "--bf16_guidance", action="store_true",
+        help="run the color-guidance VAE decode + gradient in bfloat16 "
+             "(fp32 range, ~3x cheaper); default keeps fp32 math",
     )
     parser.add_argument(
         "--encoder_reuse", type=int, default=1,

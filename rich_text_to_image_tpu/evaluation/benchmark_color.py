@@ -55,6 +55,9 @@ def make_parser():
                         "scan, sharing the reference-trajectory rows "
                         "(RegionDiffusion.color_bench_batch). 1 = the "
                         "reference's sequential loop")
+    p.add_argument("--bf16_guidance", action="store_true",
+                   help="bfloat16 color-guidance VAE gradient (~3x cheaper; "
+                        "fp32-range). Default keeps the reference's fp32")
     return p
 
 
@@ -136,6 +139,7 @@ def run(args, model=None):
                         color_guidance_weight=fmt_base[
                             "color_guidance_weight"],
                         guidance_start_step=fmt_base["guidance_start_step"],
+                        bf16_guidance=args.bf16_guidance,
                     )
                     for (cname, _), img in zip(chunk, imgs):
                         pre_imgs[cname] = img[None]
@@ -167,7 +171,7 @@ def run(args, model=None):
                         guidance_scale=GUIDANCE_SCALE, latents=latent,
                         text_format_dict=fmt, use_guidance=True,
                         inject_selfattn=0.2, inject_background=0.3,
-                        seed=seed,
+                        seed=seed, bf16_guidance=args.bf16_guidance,
                     )
                 mn, av = color_distances(
                     img_base[0], region_mask_px, rgb, color_name)

@@ -66,6 +66,12 @@ class RichControlSpec:
     # only on key steps (every Nth), reuse the cached (x, skips) between —
     # opt-in approximation the reference has no counterpart for.
     encoder_reuse: int = 1
+    # Opt-in: run the color-guidance VAE decode + gradient in bfloat16
+    # (fp32 range). The guidance only consumes a *gradient direction*
+    # scaled by color_guidance_weight, and the fp32 decode dominates the
+    # guided step (~58% of the color-bench item on v5e) — bf16 cuts it
+    # ~3×. Default keeps the reference's fp32 math.
+    bf16_guidance: bool = False
 
 
 class RegionDiffusion:
@@ -483,6 +489,7 @@ class RegionDiffusion:
         inject_background: float = 0.0,
         seed: int = 0,
         encoder_reuse: int = 1,
+        bf16_guidance: bool = False,
     ) -> np.ndarray:
         """Rich region-based sampling (reference region_diffusion.py:248-273).
 
@@ -501,6 +508,7 @@ class RegionDiffusion:
                 "color_guidance_weight", 1.0
             ),
             encoder_reuse=int(encoder_reuse),
+            bf16_guidance=bool(bf16_guidance),
         )
         lat = self.produce_latents(
             embeds,
@@ -596,7 +604,8 @@ class RegionDiffusion:
         enc_gates = (np.arange(S) % stride == 0)
 
         fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
-                           tw is not None, stride > 1)
+                           tw is not None, stride > 1,
+                           use_grad and spec.bf16_guidance)
         lat = fn(
             self.unet_params,
             self.vae_params,
@@ -622,14 +631,15 @@ class RegionDiffusion:
         return lat
 
     def _rich_fn(self, latent_hw, num_steps, n_styles, run_reference,
-                 use_grad, use_tw, enc_reuse=False):
+                 use_grad, use_tw, enc_reuse=False, bf16_guidance=False):
         key = ("rich", latent_hw, num_steps, n_styles, run_reference,
-               use_grad, use_tw, enc_reuse)
+               use_grad, use_tw, enc_reuse, bf16_guidance)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
         unet = self.unet
-        vae = self.vae
+        vae = (AutoencoderKL(self.vae_cfg, dtype=jnp.bfloat16)
+               if bf16_guidance else self.vae)
         vae_cfg = self.vae_cfg
         constrain = self._constrain_batch
         R = n_styles - 1  # span regions (masks[:-1])
@@ -853,6 +863,7 @@ class RegionDiffusion:
         inject_background: float = 0.3,
         color_guidance_weight: float = 1.0,
         guidance_start_step: int = 999,
+        bf16_guidance: bool = False,
     ) -> np.ndarray:
         """K color-benchmark items in ONE scan (TPU-native batch-DP).
 
@@ -897,7 +908,7 @@ class RegionDiffusion:
             np.stack([np.asarray(m).reshape(h, w) for m in self.masks])
         )[..., None]  # [2, h, w, 1]
 
-        fn = self._colorbatch_fn((h, w), S, K)
+        fn = self._colorbatch_fn((h, w), S, K, bf16_guidance)
         lat = fn(
             self.unet_params, self.vae_params, lat0, ref0, embeds, masks,
             _plan_arrays(plan),
@@ -919,13 +930,14 @@ class RegionDiffusion:
         )
         return self.decode_latents(lat)
 
-    def _colorbatch_fn(self, latent_hw, num_steps, K):
-        key = ("colorbatch", latent_hw, num_steps, K)
+    def _colorbatch_fn(self, latent_hw, num_steps, K, bf16_guidance=False):
+        key = ("colorbatch", latent_hw, num_steps, K, bf16_guidance)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
         unet = self.unet
-        vae = self.vae
+        vae = (AutoencoderKL(self.vae_cfg, dtype=jnp.bfloat16)
+               if bf16_guidance else self.vae)
         vae_cfg = self.vae_cfg
         constrain = self._constrain_batch
         capture_ref = CaptureSpec(

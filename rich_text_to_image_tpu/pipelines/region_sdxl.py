@@ -350,6 +350,7 @@ class RegionDiffusionXL:
         crops_coords_top_left: tuple = (0, 0),
         target_size: Optional[tuple] = None,
         encoder_reuse: int = 1,
+        bf16_guidance: bool = False,
     ):
         """Reference single-entry sample() (region_diffusion_sdxl.py:555):
         plain branch when run_rich_text=False, rich branch otherwise."""
@@ -400,6 +401,7 @@ class RegionDiffusionXL:
                 color_guidance_weight=(text_format_dict or {}).get(
                     "color_guidance_weight", 1.0),
                 encoder_reuse=int(encoder_reuse),
+                bf16_guidance=bool(bf16_guidance),
             ),
             dict(text_format_dict or {}), latents, (height, width),
         )
@@ -420,7 +422,7 @@ class RegionDiffusionXL:
                       width=1024, num_inference_steps=50, guidance_scale=5.0,
                       latents=None, text_format_dict=None, use_guidance=False,
                       inject_selfattn=0.0, inject_background=0.0, seed=0,
-                      encoder_reuse=1):
+                      encoder_reuse=1, bf16_guidance=False):
         return self.sample(
             prompts, negative_prompts, height=height, width=width,
             num_inference_steps=num_inference_steps,
@@ -428,7 +430,7 @@ class RegionDiffusionXL:
             use_guidance=use_guidance, inject_selfattn=inject_selfattn,
             inject_background=inject_background,
             text_format_dict=text_format_dict, latents=latents, seed=seed,
-            encoder_reuse=encoder_reuse,
+            encoder_reuse=encoder_reuse, bf16_guidance=bf16_guidance,
         )
 
     # ------------------------------------------------------------ plain fn
@@ -553,7 +555,8 @@ class RegionDiffusionXL:
         enc_gates = (np.arange(S) % stride == 0)
 
         fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
-                           use_tw, stride > 1)
+                           use_tw, stride > 1,
+                           use_grad and spec.bf16_guidance)
         lat = fn(
             self.unet_params, self.vae_params, latents, embeds, pooled,
             time_ids, masks, plan,
@@ -576,14 +579,17 @@ class RegionDiffusionXL:
         return self.decode_latents(lat)
 
     def _rich_fn(self, latent_hw, num_steps, n_styles, run_reference,
-                 use_grad, use_tw, enc_reuse=False):
+                 use_grad, use_tw, enc_reuse=False, bf16_guidance=False):
         key = ("rich", latent_hw, num_steps, n_styles, run_reference,
-               use_grad, use_tw, enc_reuse)
+               use_grad, use_tw, enc_reuse, bf16_guidance)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
         unet = self.unet
-        vae = self.vae
+        # bf16 guidance decode: fp32-range, ~3× cheaper gradient; the
+        # reference's fp16 SDXL VAE overflow concern does not apply
+        vae = (AutoencoderKL(self.vae_cfg, dtype=jnp.bfloat16)
+               if bf16_guidance else self.vae)
         vae_cfg = self.vae_cfg
         constrain = self._constrain_batch
         R = n_styles - 1

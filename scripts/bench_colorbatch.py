@@ -50,10 +50,11 @@ def main(steps=41):
                 inject_selfattn=0.2, inject_background=0.3, seed=1,
             )
 
-    def batched(k):
+    def batched(k, bf16=False):
         model.color_bench_batch(
             [f"{names[i]} car" for i in range(k)], base, rgbs[:k],
             region_mask_px, px, px, steps, 8.5, seed=1, latents=latent,
+            bf16_guidance=bf16,
         )
 
     seq(1)  # compile
@@ -65,6 +66,14 @@ def main(steps=41):
         t0 = time.time(); batched(k); dt = time.time() - t0
         print(json.dumps({
             "mode": f"batched_k{k}", "steps": steps,
+            "s_per_item": round(dt / k, 2),
+            "speedup_vs_sequential": round(seq_s / (dt / k), 2),
+        }), flush=True)
+    for k in (8,):
+        batched(k, bf16=True)  # compile
+        t0 = time.time(); batched(k, bf16=True); dt = time.time() - t0
+        print(json.dumps({
+            "mode": f"batched_k{k}_bf16grad", "steps": steps,
             "s_per_item": round(dt / k, 2),
             "speedup_vs_sequential": round(seq_s / (dt / k), 2),
         }), flush=True)

@@ -83,6 +83,39 @@ def test_colorbatch_matches_sequential(pipe):
         assert diff.max() <= 2, f"{name}: max |Δ| = {diff.max()}"
 
 
+def test_bf16_guidance_close_to_fp32(pipe):
+    """bf16 guidance decode: same pipeline, gradient in bf16 — output
+    must stay close to the fp32-guided result (it's a guidance direction,
+    not the image path)."""
+    import jax
+    import jax.numpy as jnp
+
+    lat = pipe.unet_cfg.sample_size
+    px = lat * 2 ** (len(pipe.vae_cfg.block_out_channels) - 1)
+    rng = np.random.RandomState(7)
+    soft = rng.rand(2, lat, lat).astype(np.float32)
+    soft /= soft.sum(0, keepdims=True)
+    pipe.masks = [soft[0][None], soft[1][None]]
+    rm = np.asarray(resize_bicubic(soft[0][None], (px, px))).clip(0, 1)[0]
+    fmt = {
+        "guidance_start_step": 999,
+        "color_guidance_weight": 1,
+        "target_RGB": [np.asarray([1.0, 0.0, 0.0], np.float32)],
+        "color_obj_atten": [rm[None]],
+        "color_obj_atten_all": np.asarray(pipe.masks[0]),
+    }
+    latent = jax.random.normal(jax.random.PRNGKey(3), (1, lat, lat, 4))
+    kw = dict(height=px, width=px, num_inference_steps=4,
+              guidance_scale=8.5, latents=jnp.asarray(latent),
+              text_format_dict=fmt, use_guidance=True, seed=3)
+    f32 = pipe.prompt_to_img(["red car", "a car"], [""], **kw)
+    b16 = pipe.prompt_to_img(["red car", "a car"], [""],
+                             bf16_guidance=True, **kw)
+    diff = np.abs(f32.astype(np.float32) - b16.astype(np.float32))
+    assert np.isfinite(b16.astype(np.float32)).all()
+    assert np.mean(diff) < 8.0, f"mean |Δ| = {np.mean(diff)}"
+
+
 def test_stylebatch_matches_sequential(pipe):
     """style_bench_batch (pure K-item batching, R=2, no injection) must
     reproduce sequential prompt_to_img per item (fp32 exact)."""
