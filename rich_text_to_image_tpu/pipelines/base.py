@@ -1,0 +1,62 @@
+"""Shared pipeline machinery: mesh placement + jitted VAE decode.
+
+Both rich-text pipelines (SD-1.5 and SDXL) place themselves on a device
+mesh the same way and decode latents through the same jitted program;
+this mixin is the single home for that logic (it was previously
+duplicated verbatim in both classes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+class MeshDecodeMixin:
+    """Requires: unet_params, vae, vae_params, vae_cfg, _jit_cache, mesh."""
+
+    def use_mesh(self, mesh, tp_axis: str = "tp"):
+        """Place the pipeline on a device mesh.
+
+        Params shard by parallel.mesh rules (wide weight dims on tp); the
+        batched UNet rows (CFG rows, region fan-out, text_to_images /
+        benchmark-item batches) shard over dp via sharding constraints
+        inside the jitted scans — SURVEY §7.6's region-DP, introduced
+        (the reference is single-GPU). Clears the jit cache so programs
+        re-specialize under the mesh.
+        """
+        from ..parallel.mesh import shard_params
+
+        self.mesh = mesh
+        self.unet_params = jax.device_put(
+            self.unet_params, shard_params(self.unet_params, mesh, tp_axis)
+        )
+        self._jit_cache.clear()
+        return self
+
+    def _constrain_batch(self, x):
+        """Shard a batched UNet input over dp when a mesh is active."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("dp"))
+        )
+
+    @functools.cached_property
+    def _decode(self):
+        # params are jit ARGUMENTS (closure constants would be baked into
+        # the HLO — hundreds of MB through a remote-compile relay)
+        @jax.jit
+        def run(params, latents):
+            imgs = self.vae.apply(
+                params,
+                latents.astype(jnp.float32) / self.vae_cfg.scaling_factor,
+                method=self.vae.decode,
+            )
+            return jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+
+        return functools.partial(run, self.vae_params)

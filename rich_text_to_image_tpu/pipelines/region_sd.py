@@ -49,6 +49,7 @@ from ..utils.registries import (
     attn_layer_resolutions,
 )
 from ..utils.token_maps import SEG_RESOLUTION, AttnAggregates
+from .base import MeshDecodeMixin
 
 
 @dataclasses.dataclass
@@ -74,7 +75,7 @@ class RichControlSpec:
     bf16_guidance: bool = False
 
 
-class RegionDiffusion:
+class RegionDiffusion(MeshDecodeMixin):
     """SD-1.5 rich-text-to-image pipeline."""
 
     def __init__(
@@ -110,33 +111,7 @@ class RegionDiffusion:
         if mesh is not None:
             self.use_mesh(mesh)
 
-    def use_mesh(self, mesh, tp_axis: str = "tp"):
-        """Place the pipeline on a device mesh.
-
-        Params shard by parallel.mesh rules (wide weight dims on tp); the
-        batched UNet rows (CFG rows, region fan-out, text_to_images batch)
-        shard over dp via sharding constraints inside the jitted scans —
-        SURVEY §7.6's region-DP, introduced (the reference is single-GPU).
-        Clears the jit cache so programs re-specialize under the mesh.
-        """
-        from ..parallel.mesh import shard_params
-
-        self.mesh = mesh
-        self.unet_params = jax.device_put(
-            self.unet_params, shard_params(self.unet_params, mesh, tp_axis)
-        )
-        self._jit_cache.clear()
-        return self
-
-    def _constrain_batch(self, x):
-        """Shard a batched UNet input over dp when a mesh is active."""
-        if self.mesh is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(self.mesh, P("dp"))
-        )
+    # use_mesh / _constrain_batch / _decode come from MeshDecodeMixin
 
     # ------------------------------------------------------------ factories
     @classmethod
@@ -231,19 +206,6 @@ class RegionDiffusion:
         return functools.partial(run, self.text_params)
 
     # ------------------------------------------------------------ VAE utils
-    @functools.cached_property
-    def _decode(self):
-        @jax.jit
-        def run(params, latents):
-            imgs = self.vae.apply(
-                params,
-                latents.astype(jnp.float32) / self.vae_cfg.scaling_factor,
-                method=self.vae.decode,
-            )
-            return jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
-
-        return functools.partial(run, self.vae_params)
-
     def decode_latents(self, latents) -> np.ndarray:
         """latents [B,h,w,4] → uint8 images [B,H,W,3]."""
         imgs = np.asarray(self._decode(latents))
@@ -285,7 +247,16 @@ class RegionDiffusion:
         """Plain CFG pass; returns (images uint8, AttnAggregates).
 
         Reference: region_diffusion.py:180-225 with tokenmap hooks active.
+        Single prompt only — the capture scan aggregates cond-row maps of
+        ONE prompt (batching prompts would mix their attention maps; use
+        ``text_to_images`` for capture-free multi-prompt throughput).
         """
+        if not isinstance(prompts, str) and len(list(prompts)) != 1:
+            raise ValueError(
+                "produce_attn_maps takes exactly one prompt (the capture "
+                "aggregates are per-prompt); got "
+                f"{len(list(prompts))}. Use text_to_images for batches."
+            )
         embeds = self.get_text_embeds(prompts, negative_prompts)
         h, w = height // self.vae_scale_factor, width // self.vae_scale_factor
         if latents is None:

@@ -42,10 +42,11 @@ from ..ops.attention import make_token_weight_vectors
 from ..schedulers import EulerDiscreteScheduler
 from ..utils.registries import CrossAttentionLayers_XL, attn_layer_resolutions
 from ..utils.token_maps import SEG_RESOLUTION, AttnAggregates
-from .region_sd import RichControlSpec
+from .base import MeshDecodeMixin
+from .region_sd import RichControlSpec, _plan_arrays
 
 
-class RegionDiffusionXL:
+class RegionDiffusionXL(MeshDecodeMixin):
     """SDXL rich-text-to-image pipeline (also AnimeXL checkpoints)."""
 
     def __init__(
@@ -97,26 +98,7 @@ class RegionDiffusionXL:
         if mesh is not None:
             self.use_mesh(mesh)
 
-    def use_mesh(self, mesh, tp_axis: str = "tp"):
-        """Shard params (tp rules) + batched UNet rows (dp) over a mesh;
-        see RegionDiffusion.use_mesh."""
-        from ..parallel.mesh import shard_params
-
-        self.mesh = mesh
-        self.unet_params = jax.device_put(
-            self.unet_params, shard_params(self.unet_params, mesh, tp_axis)
-        )
-        self._jit_cache.clear()
-        return self
-
-    def _constrain_batch(self, x):
-        if self.mesh is None:
-            return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(self.mesh, P("dp"))
-        )
+    # use_mesh / _constrain_batch / _decode come from MeshDecodeMixin
 
     # ------------------------------------------------------------ factories
     @classmethod
@@ -265,19 +247,6 @@ class RegionDiffusionXL:
         )
 
     # ------------------------------------------------------------ VAE utils
-    @functools.cached_property
-    def _decode(self):
-        @jax.jit
-        def run(params, latents):
-            imgs = self.vae.apply(
-                params,
-                latents.astype(jnp.float32) / self.vae_cfg.scaling_factor,
-                method=self.vae.decode,
-            )
-            return jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
-
-        return functools.partial(run, self.vae_params)
-
     def decode_latents(self, latents) -> np.ndarray:
         if getattr(self, "_vae_tiling", False):
             from ..models.vae_tiling import tiled_decode
@@ -373,12 +342,19 @@ class RegionDiffusionXL:
         latents = latents * getattr(plan, "init_noise_sigma", 1.0)
 
         if not run_rich_text:
+            if not isinstance(prompt, str) and len(list(prompt)) != 1:
+                raise ValueError(
+                    "plain-branch sample() takes exactly one prompt (the "
+                    f"capture aggregates are per-prompt); got "
+                    f"{len(list(prompt))}"
+                )
             seg_res, self_layers, cross_by_res = self._capture_layout((h, w))
             fn = self._plain_fn((h, w), plan.num_steps, seg_res, self_layers,
                                 tuple(sorted(cross_by_res.items())))
             lat, self_sum, cross = fn(
                 self.unet_params, latents, embeds[:2], pooled[:2],
-                add_time_ids, plan, jnp.float32(guidance_scale),
+                add_time_ids, _plan_arrays(plan),
+                jnp.float32(guidance_scale),
             )
             self.attn_aggregates = AttnAggregates(
                 self_sum=np.asarray(self_sum),
@@ -454,9 +430,10 @@ class RegionDiffusionXL:
             cross0 = tuple(
                 jnp.zeros((r * r, 77), jnp.float32) for r, _ in cross_items
             )
+            st0 = sched.init_state(latents.shape)
 
             def body(carry, i):
-                lat, self_sum, cross = carry
+                lat, st, self_sum, cross = carry
                 t = plan.timesteps[i]
                 x = jnp.concatenate([lat, lat], axis=0)
                 x = constrain(sched.scale_model_input(plan, i, x))
@@ -482,11 +459,11 @@ class RegionDiffusionXL:
                 )
                 eps = eps.astype(jnp.float32)
                 e = eps[0:1] + g * (eps[1:2] - eps[0:1])
-                lat, _ = sched.step(plan, i, (), e, lat)
-                return (lat, self_sum, cross), None
+                lat, st = sched.step(plan, i, st, e, lat)
+                return (lat, st, self_sum, cross), None
 
-            (lat, self_sum, cross), _ = jax.lax.scan(
-                body, (latents, self0, cross0), jnp.arange(num_steps)
+            (lat, _, self_sum, cross), _ = jax.lax.scan(
+                body, (latents, st0, self0, cross0), jnp.arange(num_steps)
             )
             return lat, self_sum, cross
 
@@ -559,7 +536,7 @@ class RegionDiffusionXL:
                            use_grad and spec.bf16_guidance)
         lat = fn(
             self.unet_params, self.vae_params, latents, embeds, pooled,
-            time_ids, masks, plan,
+            time_ids, masks, _plan_arrays(plan),
             dict(
                 g=jnp.float32(spec.guidance_scale),
                 inject_gates=jnp.asarray(inject_gates),
@@ -601,6 +578,8 @@ class RegionDiffusionXL:
         @jax.jit
         def run(params, vae_params, latents, embeds, pooled, time_ids, masks,
                 plan, ctl):
+            st0 = sched.init_state(latents.shape)
+            st_ref0 = sched.init_state(latents.shape)
             decode = jax.checkpoint(
                 lambda vp, z: vae.apply(vp, z, method=vae.decode)
             )
@@ -643,7 +622,7 @@ class RegionDiffusionXL:
                 )
 
             def body(carry, i):
-                lat, lat_ref, enc_carry = carry
+                lat, lat_ref, st, st_ref, enc_carry = carry
                 t = plan.timesteps[i]
                 gate = ctl["inject_gates"][i]
                 enc_gate = ctl["enc_gates"][i]
@@ -722,13 +701,19 @@ class RegionDiffusionXL:
                     )
                 noise = noise_uncond + ctl["g"] * (noise_text - noise_uncond)
 
-                lat_new, _ = sched.step(plan, i, (), noise, lat)
+                lat_new, st_new = sched.step(plan, i, st, noise, lat)
                 if run_reference:
-                    ref_stepped, _ = sched.step(plan, i, (), eps_ref, lat_ref)
+                    ref_stepped, st_ref_new = sched.step(
+                        plan, i, st_ref, eps_ref, lat_ref
+                    )
+                    # the refer trajectory holds after its window (:832);
+                    # its scheduler state still advances (stateless Euler —
+                    # the reference's SDXL scheduler — is unaffected)
                     lat_ref_new = jnp.where(
                         ctl["ref_step_gates"][i], ref_stepped, lat_ref
                     )
                 else:
+                    st_ref_new = st_ref
                     lat_ref_new = lat_ref
                 lat = lat_new
 
@@ -764,7 +749,7 @@ class RegionDiffusionXL:
                         + lat * (1 - masks[-1][None]),
                         lat,
                     )
-                return (lat, lat_ref_new, enc_new), None
+                return (lat, lat_ref_new, st_new, st_ref_new, enc_new), None
 
             lat_ref0 = latents if run_reference else jnp.zeros_like(latents)
             if not enc_reuse:
@@ -775,8 +760,9 @@ class RegionDiffusionXL:
                         _zero_enc(R, embeds[1:1 + R], EMPTY_CAPTURE))
             else:
                 enc0 = (_zero_enc(R + 2, embeds, EMPTY_CAPTURE),)
-            (lat, _, _), _ = jax.lax.scan(
-                body, (latents, lat_ref0, enc0), jnp.arange(num_steps)
+            (lat, _, _, _, _), _ = jax.lax.scan(
+                body, (latents, lat_ref0, st0, st_ref0, enc0),
+                jnp.arange(num_steps)
             )
             return lat
 
