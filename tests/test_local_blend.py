@@ -81,14 +81,20 @@ def test_replacement_mapper():
     tok = CLIPTokenizer.byte_level()
     from rich_text_to_image_tpu.utils.seq_aligner import get_replacement_mapper
 
-    # equal-length word swap: "cat" -> "dog" (both 3 byte-tokens)
+    # equal-length word swap: "cat" -> "dog" (both 3 byte-tokens).
+    # The mapper is the [77,77] matrix form (seq_aligner.py:153-187
+    # semantics): identity rows outside the swap, permutation/fractional
+    # block inside it.
     mapper = get_replacement_mapper("a cat runs", "a dog runs", tok)
-    # position of "a" unchanged; dog tokens map onto cat's positions
-    assert mapper[1] == 1
-    np.testing.assert_array_equal(mapper[2:5], [2, 3, 4])
-    # unequal token lengths refuse
-    with pytest.raises(ValueError):
-        get_replacement_mapper("a cat runs", "a elephant runs", tok)
+    assert mapper.shape == (77, 77)
+    assert mapper[1, 1] == 1  # position of "a" unchanged
+    np.testing.assert_array_equal(mapper[2:5, 2:5], np.eye(3))
+    # unequal token lengths: fractional redistribution — cat (3 tokens,
+    # rows 2:5) spreads 1/8 mass over elephant's 8 target columns 2:10
+    m2 = get_replacement_mapper("a cat runs", "a elephant runs", tok)
+    np.testing.assert_allclose(m2[2:5, 2:10], np.full((3, 8), 1 / 8))
+    np.testing.assert_allclose(m2[2:5].sum(-1), 1.0)  # mass conserved
+    # unequal word counts still refuse
     with pytest.raises(ValueError):
         get_replacement_mapper("a cat", "a big cat", tok)
 
