@@ -28,7 +28,9 @@ def test_dryrun_multichip_subprocess_clean_env():
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+        # generous: under a loaded host (full suite with -n 6 workers) the
+        # subprocess's CPU compile can take several× its solo ~3 min
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip OK" in proc.stdout
