@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import (
     attention_with_probs,
+    avg_probs_kernel_fits,
     cross_attention,
     flash_attention,
     flash_attention_avg_probs,
@@ -324,8 +325,13 @@ class Attention(nn.Module):
             if want_probs:
                 # capture layers consume only the head AVERAGE
                 # (region_diffusion.py:417) — the fused kernel emits it
-                # without materializing [B,H,S,S] probs in HBM
-                if _use_flash(S) and self.dtype != jnp.float64:
+                # without materializing [B,H,S,S] probs in HBM; degrade to
+                # the XLA path (not a crash) when its full-row layout
+                # can't fit VMEM at an unusual resolution
+                if (_use_flash(S) and self.dtype != jnp.float64
+                        and avg_probs_kernel_fits(
+                            S, k_used.shape[2], q_used.shape[-1],
+                            q_used.dtype)):
                     o, pavg = flash_attention_avg_probs(
                         q_used, k_used, v, scale)
                 else:

@@ -10,8 +10,14 @@ workarounds with no TPU counterpart (region_diffusion_sdxl.py:185-235).
 TPU adaptation: XLA wants static shapes, so instead of decoding ragged edge
 tiles (a recompile per distinct edge size), the latent is edge-padded up
 front to a whole number of tile strides and every tile decode reuses ONE
-compiled program; the final image is cropped back. Numerics match diffusers
-everywhere except inside the cropped-away padding's blend margin.
+compiled program; the final image is cropped back. Numerics: interior tiles
+and seams match diffusers exactly (differential-tested,
+tests/test_vae_tiling.py). Near the image's right/bottom edges a real
+(non-pixel-local) decoder's conv receptive field sees edge-replicated
+latents where diffusers' ragged edge tiles see the VAE's own boundary
+padding, so a band of up to the decoder receptive field at those two edges
+can diverge slightly from diffusers — accepted: the alternative is one
+recompile per distinct edge-tile shape.
 
 ``sliced_decode`` is the batch-dimension analogue (enable_vae_slicing,
 region_diffusion_sdxl.py:150-158).

@@ -81,8 +81,11 @@ def _full_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
 
 
 # VMEM working-set cap for the full-row path: K+V (bf16) + per-row buffers
-# per instance, with headroom for double-buffered q/out tiles.
-_FULL_PATH_VMEM = 12 * 1024 * 1024
+# per instance, with headroom for double-buffered q/out tiles. 14 of the
+# ~16 MB/core: with the honest row budget below (s fp32 + p fp32 + cast
+# coexisting) this keeps the production shapes on the same layouts that
+# were benchmarked on-chip in round 2 (S=4096 bf16 → blk_q=256 at 13 MB).
+_FULL_PATH_VMEM = 14 * 1024 * 1024
 
 
 def _full_path_layout(sq: int, skv_p: int, dp: int, itemsize: int,
@@ -90,14 +93,16 @@ def _full_path_layout(sq: int, skv_p: int, dp: int, itemsize: int,
     """Pick blk_q for a full-row kernel, or None if it can't fit VMEM.
 
     ``row_elem_bytes`` models the per-element VMEM cost of the [blk_q,
-    skv_p] row buffers: the plain kernel keeps scores fp32 + probs in the
-    storage dtype (4 + itemsize, the default); the capture-fused
-    avg-probs kernel additionally holds pn fp32 + the pavg accumulator
-    fp32 (12 + itemsize). Shared by both kernels so their entry
-    conditions stay in lockstep.
+    skv_p] row buffers. The plain kernel's peak is s fp32 + p fp32 +
+    p.astype(storage) coexisting before the PV matmul (8 + itemsize, the
+    default — budgeting only 4 + itemsize risked a Mosaic VMEM-exceeded
+    compile near the fit boundary); the capture-fused avg-probs kernel
+    additionally holds pn fp32 + the pavg accumulator fp32
+    (16 + itemsize). Shared by both kernels so their entry conditions
+    stay in lockstep.
     """
     if row_elem_bytes is None:
-        row_elem_bytes = 4 + itemsize
+        row_elem_bytes = 8 + itemsize
     kv_bytes = 2 * skv_p * dp * itemsize
     for blk_q in (1024, 512, 256, 128):
         if blk_q > _round_up(sq, 8):
@@ -107,6 +112,19 @@ def _full_path_layout(sq: int, skv_p: int, dp: int, itemsize: int,
         if kv_bytes + s_bytes + q_bytes <= _FULL_PATH_VMEM:
             return blk_q
     return None
+
+
+def avg_probs_kernel_fits(sq: int, skv: int, d: int, dtype) -> bool:
+    """True when the capture-fused avg-probs kernel's full-row VMEM layout
+    fits for these shapes. Callers (models/unet.py capture path) use this to
+    degrade to ``attention_with_probs`` + mean instead of crashing at an
+    unusual resolution (``flash_attention_avg_probs`` raises on no-fit,
+    unlike ``flash_attention`` which falls back to the online kernel)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    return _full_path_layout(
+        sq, _round_up(skv, 128), _round_up(d, 128), itemsize,
+        row_elem_bytes=16 + itemsize,
+    ) is not None
 
 
 def _full_kernel_avgp(q_ref, k_ref, v_ref, o_ref, pavg_ref, *, kv_len: int,
@@ -172,9 +190,9 @@ def flash_attention_avg_probs(
     dp = _round_up(d, 128)
     itemsize = jnp.dtype(q.dtype).itemsize
     skv_p = _round_up(skv, 128)
-    # row buffers: s fp32 + pn fp32 + pavg fp32 + p in storage dtype
+    # row buffers: s fp32 + p fp32 + pn fp32 + pavg fp32 + p cast to storage
     blk_q = _full_path_layout(sq, skv_p, dp, itemsize,
-                              row_elem_bytes=12 + itemsize)
+                              row_elem_bytes=16 + itemsize)
     if blk_q is None:
         raise ValueError(
             f"KV too large for the full-row capture kernel: S={sq}/{skv}")

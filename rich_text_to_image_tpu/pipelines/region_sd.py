@@ -251,12 +251,14 @@ class RegionDiffusion(MeshDecodeMixin):
         ONE prompt (batching prompts would mix their attention maps; use
         ``text_to_images`` for capture-free multi-prompt throughput).
         """
-        if not isinstance(prompts, str) and len(list(prompts)) != 1:
-            raise ValueError(
-                "produce_attn_maps takes exactly one prompt (the capture "
-                "aggregates are per-prompt); got "
-                f"{len(list(prompts))}. Use text_to_images for batches."
-            )
+        if not isinstance(prompts, str):
+            prompts = list(prompts)  # materialize once: a generator would
+            if len(prompts) != 1:    # pass the guard but arrive exhausted
+                raise ValueError(
+                    "produce_attn_maps takes exactly one prompt (the capture "
+                    "aggregates are per-prompt); got "
+                    f"{len(prompts)}. Use text_to_images for batches."
+                )
         embeds = self.get_text_embeds(prompts, negative_prompts)
         h, w = height // self.vae_scale_factor, width // self.vae_scale_factor
         if latents is None:

@@ -323,6 +323,9 @@ class RegionDiffusionXL(MeshDecodeMixin):
     ):
         """Reference single-entry sample() (region_diffusion_sdxl.py:555):
         plain branch when run_rich_text=False, rich branch otherwise."""
+        if not isinstance(prompt, str):
+            prompt = list(prompt)  # materialize once: encode_prompt and the
+            # single-prompt guard below both consume it
         height = height or self.default_sample_size * self.vae_scale_factor
         width = width or self.default_sample_size * self.vae_scale_factor
         original_size = original_size or (height, width)
@@ -342,12 +345,14 @@ class RegionDiffusionXL(MeshDecodeMixin):
         latents = latents * getattr(plan, "init_noise_sigma", 1.0)
 
         if not run_rich_text:
-            if not isinstance(prompt, str) and len(list(prompt)) != 1:
-                raise ValueError(
-                    "plain-branch sample() takes exactly one prompt (the "
-                    f"capture aggregates are per-prompt); got "
-                    f"{len(list(prompt))}"
-                )
+            if not isinstance(prompt, str):
+                prompt = list(prompt)  # materialize once: a generator would
+                if len(prompt) != 1:   # pass the guard but arrive exhausted
+                    raise ValueError(
+                        "plain-branch sample() takes exactly one prompt (the "
+                        f"capture aggregates are per-prompt); got "
+                        f"{len(prompt)}"
+                    )
             seg_res, self_layers, cross_by_res = self._capture_layout((h, w))
             fn = self._plain_fn((h, w), plan.num_steps, seg_res, self_layers,
                                 tuple(sorted(cross_by_res.items())))
@@ -703,14 +708,20 @@ class RegionDiffusionXL(MeshDecodeMixin):
 
                 lat_new, st_new = sched.step(plan, i, st, noise, lat)
                 if run_reference:
-                    ref_stepped, st_ref_new = sched.step(
+                    ref_stepped, st_ref_stepped = sched.step(
                         plan, i, st_ref, eps_ref, lat_ref
                     )
-                    # the refer trajectory holds after its window (:832);
-                    # its scheduler state still advances (stateless Euler —
-                    # the reference's SDXL scheduler — is unaffected)
-                    lat_ref_new = jnp.where(
-                        ctl["ref_step_gates"][i], ref_stepped, lat_ref
+                    # the refer trajectory holds after its window (:832).
+                    # Freeze the scheduler state together with the latent:
+                    # for stateful multistep solvers (dpm/pndm) an advancing
+                    # eps history over a held latent would desync the solver
+                    # (stateless Euler — the reference's SDXL scheduler — is
+                    # unaffected either way)
+                    gate = ctl["ref_step_gates"][i]
+                    lat_ref_new = jnp.where(gate, ref_stepped, lat_ref)
+                    st_ref_new = jax.tree.map(
+                        lambda new, old: jnp.where(gate, new, old),
+                        st_ref_stepped, st_ref,
                     )
                 else:
                     st_ref_new = st_ref
