@@ -59,6 +59,7 @@ def run(args, model=None, scorer=None):
             model = RegionDiffusion.from_pretrained(args.checkpoint_dir)
         else:
             model = RegionDiffusion.random_init(seed=0)
+    scorer_is_random = False
     if scorer is None:
         from ..utils.clip_score import CLIPScorer
 
@@ -66,6 +67,16 @@ def run(args, model=None, scorer=None):
             scorer = CLIPScorer.from_pretrained(args.clip_dir)
         else:
             scorer = CLIPScorer.random_init(seed=0, tokenizer=model.tokenizer)
+            scorer_is_random = True
+            print(
+                "=" * 70 + "\n"
+                "WARNING: no --clip_dir given — CLIP scorer is RANDOM-WEIGHT.\n"
+                "The benchmark protocol runs, but every CLIP similarity below\n"
+                "is protocol-only smoke output, NOT a style-fidelity result.\n"
+                "Pass --clip_dir <local ViT-B/32 checkpoint> for real scores.\n"
+                + "=" * 70,
+                flush=True,
+            )
 
     p2p = None
     if args.with_p2p:
@@ -209,6 +220,8 @@ def run(args, model=None, scorer=None):
                  "n": len(overall["ours"])},
         "p2p": {"mean": overall["p2p"].mean, "std": overall["p2p"].std,
                 "n": len(overall["p2p"])},
+        # stamped so a saved smoke run can never be mistaken for results
+        "clip_scores_random_weights": scorer_is_random,
     }
     with open(os.path.join(args.save_path, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

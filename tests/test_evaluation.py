@@ -185,3 +185,42 @@ def test_token_map_cluster_cache():
     get_token_maps(agg, [np.asarray([5])], (8, 8), seed=2,
                    num_segments=3, n_init=3)
     assert (2, 3, 3) in agg.cluster_cache
+
+
+def test_benchmark_style_random_scorer_banner(monkeypatch, capsys):
+    """With no --clip_dir, run() must print an unmissable random-weight
+    warning and stamp the summary so smoke scores can't pass as results."""
+    from rich_text_to_image_tpu.evaluation import benchmark_style as bs
+    from rich_text_to_image_tpu.models import config as cfg
+    from rich_text_to_image_tpu.pipelines.region_sd import RegionDiffusion
+    from rich_text_to_image_tpu.utils import clip_score as cs
+
+    class DummyScorer:
+        def get_clip_score(self, image, text):
+            return 0.5
+
+    monkeypatch.setattr(
+        cs.CLIPScorer, "random_init",
+        classmethod(lambda c, **kw: DummyScorer()),
+    )
+    model = RegionDiffusion.random_init(
+        seed=0, unet_cfg=cfg.TINY_UNET, vae_cfg=cfg.TINY_VAE,
+        text_cfg=cfg.TINY_TEXT, agg_start_step=3,
+    )
+    args = bs.make_parser().parse_args(
+        ["--limit", "1", "--num_seeds", "1", "--steps", "4",
+         "--save_path", "/tmp/test_bench_style_banner"]
+    )
+    summary = bs.run(args, model=model, scorer=None)
+    out = capsys.readouterr().out
+    assert "RANDOM-WEIGHT" in out
+    assert summary["clip_scores_random_weights"] is True
+
+    # an explicitly passed scorer is trusted: no banner, flag false
+    args2 = bs.make_parser().parse_args(
+        ["--limit", "1", "--num_seeds", "1", "--steps", "4",
+         "--save_path", "/tmp/test_bench_style_banner2"]
+    )
+    summary2 = bs.run(args2, model=model, scorer=DummyScorer())
+    assert "RANDOM-WEIGHT" not in capsys.readouterr().out
+    assert summary2["clip_scores_random_weights"] is False

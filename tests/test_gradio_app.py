@@ -207,3 +207,35 @@ def test_editor_html_contract():
     # every whitelisted font has a picker preview rule
     for font in fonts:
         assert f'data-value={font}]' in html, font
+
+
+def test_editor_offline_fallback():
+    """Zero-egress deployments can't reach the Quill CDN: the page must
+    degrade to a textarea publishing the same document.body._data Delta-JSON
+    contract, and its prefilled payload must parse through the framework's
+    rich-text front-end."""
+    import json
+    import os
+    import re
+
+    from rich_text_to_image_tpu.utils.richtext import parse_json
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "rich_text_to_image_tpu", "cli",
+        "editor.html",
+    )
+    with open(path, encoding="utf-8") as f:
+        html = f.read()
+    # the init script must gate on Quill's availability
+    assert re.search(r"typeof Quill === 'undefined'", html)
+    assert 'id="fallback-json"' in html
+    # fallback publishes to the same bridge the host page polls
+    fb = html.split("function initQuill")[0]
+    assert "document.body._data" in fb
+    # the prefilled Delta must be valid JSON and parse as rich text
+    m = re.search(r'id="fallback-json"[^>]*>\s*(\{.*?\})</textarea>',
+                  html, re.S)
+    assert m, "prefilled Delta JSON not found"
+    delta = json.loads(m.group(1))
+    parsed = parse_json(delta)
+    assert parsed.base_text_prompt.strip()
