@@ -81,12 +81,32 @@ EMPTY_CAPTURE = CaptureSpec()
 INJECT_RESNET_NAME = "up_blocks.1.resnets.1"
 
 
+_FORCE_FLASH = False
+
+
+def force_flash(on: bool) -> None:
+    """Test hook: route self-attention through the Pallas kernels regardless
+    of backend/sequence length (interpret mode on CPU). Lets the mesh-parity
+    tests execute the *kernel* path under a sharded 8-CPU mesh — without it
+    every mesh test silently takes the XLA path and multi-chip correctness
+    of the kernels is never evidenced (tests/test_pallas_sharded.py)."""
+    global _FORCE_FLASH
+    _FORCE_FLASH = bool(on)
+
+
 def _use_flash(seq: int) -> bool:
     # below ~512 tokens the fused XLA path beats kernel launch overhead;
     # on the CPU backend (full-size models in tests/benchmarks) the Pallas
     # kernels would need interpret mode — orders of magnitude slower than
     # XLA's fused attention — so CPU always takes the XLA path
+    if _FORCE_FLASH:
+        return True
     return seq >= 512 and jax.default_backend() != "cpu"
+
+
+def _flash_interpret() -> bool:
+    # Pallas kernels need interpret mode off-TPU (the force_flash test path)
+    return jax.default_backend() == "cpu"
 
 
 # ------------------------------------------------------------------- helpers
@@ -333,14 +353,16 @@ class Attention(nn.Module):
                             S, k_used.shape[2], q_used.shape[-1],
                             q_used.dtype)):
                     o, pavg = flash_attention_avg_probs(
-                        q_used, k_used, v, scale)
+                        q_used, k_used, v, scale,
+                        interpret=_flash_interpret())
                 else:
                     o, probs = attention_with_probs(q_used, k_used, v, scale)
                     pavg = jnp.mean(probs, axis=1)
                 if aux is not None:
                     aux.setdefault("self_probs", {})[name] = pavg
             elif _use_flash(S) and self.dtype != jnp.float64:
-                o = flash_attention(q_used, k_used, v, scale)
+                o = flash_attention(q_used, k_used, v, scale,
+                                    interpret=_flash_interpret())
             else:
                 o = cross_attention(q_used, k_used, v, scale)
             if capture.qk and aux is not None:

@@ -182,11 +182,23 @@ def flash_attention_avg_probs(
     Drop-in for the capture path where only the head average is consumed
     (the XLA ``attention_with_probs`` + mean writes/reads the full
     [B,H,S,S] tensor). Requires the full-row VMEM layout (S ≤ ~4096).
+
+    Under a multi-device mesh the call routes through a
+    ``custom_partitioning`` rule (batch/q-seq shardable; heads replicated —
+    the kernel reduces over heads in VMEM; KV-seq and head-dim replicated)
+    so GSPMD/Shardy partitions the kernel instead of treating it as an
+    opaque call.
     """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if jax.device_count() > 1:
+        return _flash_avgp_cp(float(scale), bool(interpret))(q, k, v)
+    return _flash_avgp_impl(q, k, v, float(scale), interpret)
+
+
+def _flash_avgp_impl(q, k, v, scale: float, interpret: bool):
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    if scale is None:
-        scale = 1.0 / math.sqrt(d)
     dp = _round_up(d, 128)
     itemsize = jnp.dtype(q.dtype).itemsize
     skv_p = _round_up(skv, 128)
@@ -326,11 +338,24 @@ def flash_attention(
     Otherwise (e.g. VAE attention at 16k+ tokens) the online-softmax kernel
     streams K/V blocks. Passing block_q explicitly forces the online path
     with those block sizes.
+
+    Under a multi-device mesh the call routes through a
+    ``custom_partitioning`` rule: batch, heads, and q-seq are shardable
+    (each (b, h, q-row) is independent given full K/V), KV-seq and head-dim
+    are replicated — so GSPMD/Shardy partitions the kernel across the mesh
+    instead of all-gathering around an opaque custom call.
     """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if jax.device_count() > 1:
+        return _flash_cp(float(scale), block_q, block_k, bool(interpret))(
+            q, k, v)
+    return _flash_impl(q, k, v, float(scale), block_q, block_k, interpret)
+
+
+def _flash_impl(q, k, v, scale: float, block_q, block_k, interpret):
     b, h, sq, d = q.shape
     skv = k.shape[2]
-    if scale is None:
-        scale = 1.0 / math.sqrt(d)
 
     dp = _round_up(d, 128)
     itemsize = jnp.dtype(q.dtype).itemsize
@@ -418,6 +443,91 @@ def flash_attention(
     )(qp, kp, vp)
 
     return out.reshape(b, h, sq_p, dp)[:, :, :sq, :d]
+
+
+# ===================================================== SPMD partitioning
+# GSPMD/Shardy treat a pallas_call as an opaque custom call: without a rule
+# the partitioner would all-gather sharded operands around it. Each (batch,
+# head, q-row) of flash attention is independent given the full K/V row, so
+# the kernels are registered with custom_partitioning rules that let the
+# batch/head/q-seq shardings flow THROUGH the kernel (each device runs the
+# unmodified kernel on its local shard — no collectives) while KV-seq and
+# head-dim are forced replicated. The head-averaging capture kernel also
+# replicates heads (it reduces over them in VMEM).
+from jax.sharding import PartitionSpec as P  # noqa: E402  (section-local)
+
+
+def _keep_dims_spec(spec, rank: int, keep: frozenset) -> P:
+    s = tuple(spec) + (None,) * (rank - len(tuple(spec)))
+    return P(*[s[i] if i in keep else None for i in range(rank)])
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_cp(scale: float, block_q, block_k, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+
+    def fn(q, k, v):
+        return _flash_impl(q, k, v, scale, block_q, block_k, interpret)
+
+    fcp = custom_partitioning(fn)
+    keep = frozenset({0, 1, 2})  # b, h, sq shardable; d replicated
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(
+            mesh, _keep_dims_spec(arg_shapes[0].sharding.spec, 4, keep))
+
+    def partition(mesh, arg_shapes, result_shape):
+        q_sh = NamedSharding(
+            mesh, _keep_dims_spec(arg_shapes[0].sharding.spec, 4, keep))
+        kv_sh = NamedSharding(
+            mesh,
+            _keep_dims_spec(arg_shapes[0].sharding.spec, 4, frozenset({0, 1})))
+        return mesh, fn, q_sh, (q_sh, kv_sh, kv_sh)
+
+    fcp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b h s d, b h t d, b h t d -> b h s d",
+        need_replication_factors=("d", "t"),  # sorted by factor index
+    )
+    return fcp
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_avgp_cp(scale: float, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+
+    def fn(q, k, v):
+        return _flash_avgp_impl(q, k, v, scale, interpret)
+
+    fcp = custom_partitioning(fn)
+    keep = frozenset({0, 2})  # b, sq shardable; h reduced in-kernel, d repl.
+
+    def _shardings(mesh, q_spec):
+        out = _keep_dims_spec(q_spec, 4, keep)
+        pavg = P(out[0], out[2], None)  # [B, Sq, Skv]
+        return NamedSharding(mesh, out), NamedSharding(mesh, pavg)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _shardings(mesh, arg_shapes[0].sharding.spec)
+
+    def partition(mesh, arg_shapes, result_shape):
+        out_sh, pavg_sh = _shardings(mesh, arg_shapes[0].sharding.spec)
+        kv_sh = NamedSharding(
+            mesh,
+            _keep_dims_spec(arg_shapes[0].sharding.spec, 4, frozenset({0})))
+        q_sh = out_sh
+        return mesh, fn, (out_sh, pavg_sh), (q_sh, kv_sh, kv_sh)
+
+    fcp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b h s d, b h t d, b h t d -> b h s d, b s t",
+        need_replication_factors=("h", "d", "t"),  # sorted by factor index
+    )
+    return fcp
 
 
 # ================================================================= XLA paths
