@@ -477,7 +477,8 @@ class RegionDiffusionXL(MeshDecodeMixin):
 
     # ------------------------------------------------------------- rich fn
     def _sample_rich(self, embeds, pooled, time_ids, latent_hw, plan, spec,
-                     text_format_dict, latents, pixel_hw):
+                     text_format_dict, latents, pixel_hw,
+                     return_latents: bool = False):
         h, w = latent_hw
         height, width = pixel_hw
         n_styles = embeds.shape[0] - 1
@@ -558,6 +559,8 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 enc_gates=jnp.asarray(enc_gates),
             ),
         )
+        if return_latents:  # oracle tests compare pre-decode latents
+            return lat
         return self.decode_latents(lat)
 
     def _rich_fn(self, latent_hw, num_steps, n_styles, run_reference,
