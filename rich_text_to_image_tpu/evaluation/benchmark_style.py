@@ -49,6 +49,28 @@ def make_parser():
     return p
 
 
+def _resolve_scorer(args, model, scorer):
+    """Returns (scorer, is_random). A random-weight fallback (no --clip_dir
+    in a zero-egress environment) prints an unmissable banner so smoke
+    scores can never be mistaken for style-fidelity results."""
+    if scorer is not None:
+        return scorer, False
+    from ..utils.clip_score import CLIPScorer
+
+    if args.clip_dir:
+        return CLIPScorer.from_pretrained(args.clip_dir), False
+    print(
+        "=" * 70 + "\n"
+        "WARNING: no --clip_dir given — CLIP scorer is RANDOM-WEIGHT.\n"
+        "The benchmark protocol runs, but every CLIP similarity below\n"
+        "is protocol-only smoke output, NOT a style-fidelity result.\n"
+        "Pass --clip_dir <local ViT-B/32 checkpoint> for real scores.\n"
+        + "=" * 70,
+        flush=True,
+    )
+    return CLIPScorer.random_init(seed=0, tokenizer=model.tokenizer), True
+
+
 def run(args, model=None, scorer=None):
     import jax
 
@@ -59,24 +81,7 @@ def run(args, model=None, scorer=None):
             model = RegionDiffusion.from_pretrained(args.checkpoint_dir)
         else:
             model = RegionDiffusion.random_init(seed=0)
-    scorer_is_random = False
-    if scorer is None:
-        from ..utils.clip_score import CLIPScorer
-
-        if args.clip_dir:
-            scorer = CLIPScorer.from_pretrained(args.clip_dir)
-        else:
-            scorer = CLIPScorer.random_init(seed=0, tokenizer=model.tokenizer)
-            scorer_is_random = True
-            print(
-                "=" * 70 + "\n"
-                "WARNING: no --clip_dir given — CLIP scorer is RANDOM-WEIGHT.\n"
-                "The benchmark protocol runs, but every CLIP similarity below\n"
-                "is protocol-only smoke output, NOT a style-fidelity result.\n"
-                "Pass --clip_dir <local ViT-B/32 checkpoint> for real scores.\n"
-                + "=" * 70,
-                flush=True,
-            )
+    scorer, scorer_is_random = _resolve_scorer(args, model, scorer)
 
     p2p = None
     if args.with_p2p:

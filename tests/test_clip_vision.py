@@ -30,6 +30,7 @@ def _convert_vision(sd):
     return {"params": convert_clip_vision(sd, tree["params"])}
 
 
+@pytest.mark.slow  # transformers oracle — full-suite lane
 def test_vs_transformers():
     import transformers
 

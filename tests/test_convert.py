@@ -29,6 +29,7 @@ from rich_text_to_image_tpu.models.vae import AutoencoderKL
 torch = pytest.importorskip("torch")
 
 
+@pytest.mark.slow  # transformers oracle — full-suite lane
 def test_clip_text_vs_transformers_full():
     import transformers
 

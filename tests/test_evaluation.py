@@ -120,6 +120,8 @@ def test_benchmark_style_batched_run():
     summary = bs.run(args, model=model, scorer=scorer)
     assert summary["ours"]["n"] == 6  # 3 items × 2 regions
     assert np.isfinite(summary["ours"]["mean"])
+    # an explicitly passed scorer is trusted: smoke-stamp stays False
+    assert summary["clip_scores_random_weights"] is False
 
 
 @pytest.mark.slow
@@ -188,11 +190,10 @@ def test_token_map_cluster_cache():
 
 
 def test_benchmark_style_random_scorer_banner(monkeypatch, capsys):
-    """With no --clip_dir, run() must print an unmissable random-weight
-    warning and stamp the summary so smoke scores can't pass as results."""
+    """With no --clip_dir the scorer resolution must print an unmissable
+    random-weight warning (and flag the summary — threading covered by
+    test_benchmark_style_batched_run); an explicit scorer prints nothing."""
     from rich_text_to_image_tpu.evaluation import benchmark_style as bs
-    from rich_text_to_image_tpu.models import config as cfg
-    from rich_text_to_image_tpu.pipelines.region_sd import RegionDiffusion
     from rich_text_to_image_tpu.utils import clip_score as cs
 
     class DummyScorer:
@@ -203,24 +204,14 @@ def test_benchmark_style_random_scorer_banner(monkeypatch, capsys):
         cs.CLIPScorer, "random_init",
         classmethod(lambda c, **kw: DummyScorer()),
     )
-    model = RegionDiffusion.random_init(
-        seed=0, unet_cfg=cfg.TINY_UNET, vae_cfg=cfg.TINY_VAE,
-        text_cfg=cfg.TINY_TEXT, agg_start_step=3,
-    )
-    args = bs.make_parser().parse_args(
-        ["--limit", "1", "--num_seeds", "1", "--steps", "4",
-         "--save_path", "/tmp/test_bench_style_banner"]
-    )
-    summary = bs.run(args, model=model, scorer=None)
-    out = capsys.readouterr().out
-    assert "RANDOM-WEIGHT" in out
-    assert summary["clip_scores_random_weights"] is True
+    import types
 
-    # an explicitly passed scorer is trusted: no banner, flag false
-    args2 = bs.make_parser().parse_args(
-        ["--limit", "1", "--num_seeds", "1", "--steps", "4",
-         "--save_path", "/tmp/test_bench_style_banner2"]
-    )
-    summary2 = bs.run(args2, model=model, scorer=DummyScorer())
+    args = bs.make_parser().parse_args(["--save_path", "/tmp/x"])
+    stub = types.SimpleNamespace(tokenizer=None)
+    scorer, is_random = bs._resolve_scorer(args, model=stub, scorer=None)
+    assert isinstance(scorer, DummyScorer) and is_random is True
+    assert "RANDOM-WEIGHT" in capsys.readouterr().out
+
+    scorer2, is_random2 = bs._resolve_scorer(args, None, DummyScorer())
+    assert is_random2 is False
     assert "RANDOM-WEIGHT" not in capsys.readouterr().out
-    assert summary2["clip_scores_random_weights"] is False

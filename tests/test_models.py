@@ -163,6 +163,8 @@ def test_unet_xl_text_time(tiny_unet):
     assert eps.shape == (2, 16, 16, 4)
 
 
+@pytest.mark.slow  # ~3 min on a loaded host; tiny-config coverage of
+# encode/decode shapes also rides the pipeline tests
 def test_vae_roundtrip_shapes():
     model = AutoencoderKL(cfg.TINY_VAE)
     rng = jax.random.PRNGKey(0)
