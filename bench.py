@@ -34,15 +34,44 @@ BASELINE_IMG_PER_MIN = {"sd15": 5.2, "sdxl": 1.4}
 
 FAILED = []
 
-
-def _emit(metric, img_per_min, baseline_key):
-    print(json.dumps({
+def _emit(metric, img_per_min, baseline_key, mfu=None):
+    rec = {
         "metric": metric,
         "value": round(img_per_min, 3),
         "unit": "images/min/chip",
         "vs_baseline": round(img_per_min / BASELINE_IMG_PER_MIN[baseline_key], 3),
-    }))
+    }
+    if mfu is not None:
+        rec["mfu"] = round(mfu, 4)
+    print(json.dumps(rec))
     sys.stdout.flush()
+
+
+def _e2e_flops(model, model_kind, steps):
+    """Model FLOPs of the timed e2e run, for MFU attribution.
+
+    Counts the two denoising scans' UNet rows and the two image decodes —
+    the compute that dominates the run. Phases intentionally left out
+    (text encode, capture aggregation einsums, spectral segmentation,
+    resizes) are bandwidth-light, so the reported MFU is a slight
+    UNDERestimate. Row structure per step (pipelines/region_sd.py /
+    region_sdxl.py): plain pass = one B=2 CFG forward; rich pass =
+    one B=2 (uncond+base) + one B=R span forward, plus — when the refer
+    trajectory runs (the SDXL bench sets injection 0.2/0.3) — the refer
+    pair rides the first forward, making it B=4.
+    """
+    from rich_text_to_image_tpu.utils.flops import (
+        unet_fwd_flops, vae_decode_flops,
+    )
+
+    xl = model_kind == "sdxl"
+    n_spans = len(model.masks) - 1  # masks = spans + background
+    per_step = (
+        unet_fwd_flops(model, 2, xl)            # plain pass CFG forward
+        + unet_fwd_flops(model, 4 if xl else 2, xl)  # rich: u+base (+refer)
+        + unet_fwd_flops(model, max(n_spans, 1), xl)  # rich: span rows
+    )
+    return steps * per_step + 2 * vae_decode_flops(model)
 
 
 def _run(model_kind):
@@ -86,7 +115,22 @@ def _run(model_kind):
     run_sample(model, args, param, save=False)
     dt = time.time() - t0
     print(f"[bench:{model_kind}] timed e2e: {dt:.2f}s", file=sys.stderr)
-    return 60.0 / dt
+
+    mfu = None
+    try:
+        from rich_text_to_image_tpu.utils.flops import peak_flops
+
+        flops = _e2e_flops(model, model_kind, steps=50)
+        peak, kind = peak_flops()
+        mfu = flops / dt / peak
+        print(f"[bench:{model_kind}] model flops {flops/1e12:.1f} TF, "
+              f"chip '{kind}' peak {peak/1e12:.0f} TF/s -> MFU {mfu:.3f}",
+              file=sys.stderr)
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+    return 60.0 / dt, mfu
 
 
 def main():
@@ -101,7 +145,8 @@ def main():
         ("sdxl", "sdxl_1024_richtext_e2e_images_per_min"),
     ):
         try:
-            _emit(metric, _run(kind), kind)
+            rate, mfu = _run(kind)
+            _emit(metric, rate, kind, mfu=mfu)
         except Exception:
             import traceback
 

@@ -494,6 +494,18 @@ class RegionDiffusionXL(MeshDecodeMixin):
              for i in range(S)]
         )
         bg_step = int(spec.inject_background * S)
+        # Past the refer trajectory's last USE — the final injection-gated
+        # step and the background-injection step — its rows/steps are dead
+        # compute the reference still performs; tighten the gate (freezing
+        # lat_ref/st_ref after an unread point is output-exact) and, when
+        # any step is dead, compile the rich scan with the B=4→B=2 row-drop
+        # cond (ref_skip). Measured: rich 6-row pass is 68% of SDXL e2e.
+        if spec.inject_selfattn > 0 or spec.inject_background > 0:
+            inject_steps = np.nonzero(inject_gates)[0]
+            last_inject = int(inject_steps[-1]) if len(inject_steps) else -1
+            last_bg = bg_step if spec.inject_background > 0 else -1
+            last_use = max(last_inject, last_bg)
+            ref_step_gates = ref_step_gates & (np.arange(S) <= last_use)
         bg_gates = (np.arange(S) == bg_step) & (spec.inject_background > 0)
         guidance_gates = (
             plan.timesteps.astype(np.int64) < spec.guidance_start_step
@@ -536,10 +548,14 @@ class RegionDiffusionXL(MeshDecodeMixin):
 
         stride = max(int(spec.encoder_reuse), 1)
         enc_gates = (np.arange(S) % stride == 0)
+        ref_skip = bool(
+            run_reference and stride == 1 and not ref_step_gates.all()
+        )
 
         fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
                            use_tw, stride > 1,
-                           use_grad and spec.bf16_guidance)
+                           use_grad and spec.bf16_guidance,
+                           ref_skip=ref_skip)
         lat = fn(
             self.unet_params, self.vae_params, latents, embeds, pooled,
             time_ids, masks, _plan_arrays(plan),
@@ -564,9 +580,10 @@ class RegionDiffusionXL(MeshDecodeMixin):
         return self.decode_latents(lat)
 
     def _rich_fn(self, latent_hw, num_steps, n_styles, run_reference,
-                 use_grad, use_tw, enc_reuse=False, bf16_guidance=False):
+                 use_grad, use_tw, enc_reuse=False, bf16_guidance=False,
+                 ref_skip=False):
         key = ("rich", latent_hw, num_steps, n_styles, run_reference,
-               use_grad, use_tw, enc_reuse, bf16_guidance)
+               use_grad, use_tw, enc_reuse, bf16_guidance, ref_skip)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
@@ -629,6 +646,35 @@ class RegionDiffusionXL(MeshDecodeMixin):
                     lambda s: jnp.zeros(s.shape, s.dtype), shapes
                 )
 
+            zero_inj = None
+            if ref_skip:
+                # zero-filled (inj_qk, inj_res) trees shaped like the quad
+                # forward's captures, for the refer-skip cond branch
+                def _inj_shapes(p, lat1, ee, pool1, tid):
+                    xa_ = jnp.concatenate([lat1] * 4, axis=0)
+                    ea_ = jnp.stack([ee[0], ee[-1], ee[0], ee[-1]], 0)
+                    added = {
+                        "text_embeds": jnp.concatenate([pool1[0:1]] * 4, 0),
+                        "time_ids": jnp.tile(tid, (4, 1)),
+                    }
+                    emb = unet.apply(p, jnp.int32(0), 4, added,
+                                     method=unet.embed_time)
+                    enc = unet.apply(p, xa_, emb, ea_, None, capture_ref,
+                                     method=unet.encode)
+                    _, aux = unet.apply(p, enc, emb, ea_, None, capture_ref,
+                                        method=unet.decode)
+                    inj_qk = {n: (q[3:4], k[3:4])
+                              for n, (q, k) in aux["self_qk"].items()}
+                    inj_res = {n: f[3:4]
+                               for n, f in aux["resnet_hidden"].items()}
+                    return inj_qk, inj_res
+
+                shapes = jax.eval_shape(_inj_shapes, params, latents, embeds,
+                                        pooled, time_ids)
+                zero_inj = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+
             def body(carry, i):
                 lat, lat_ref, st, st_ref, enc_carry = carry
                 t = plan.timesteps[i]
@@ -651,19 +697,64 @@ class RegionDiffusionXL(MeshDecodeMixin):
                             ctl["tw_rows"][-1])
                         tsa = jnp.ones((4, 77), jnp.float32).at[1].set(
                             ctl["ts_rows"][-1])
-                    eps_a, aux, enc_a = unet_fwd(
-                        xa, t, ea,
-                        {"text_embeds": pa,
-                         "time_ids": jnp.tile(time_ids, (4, 1))},
-                        UNetControls(token_weights=twa, token_signs=tsa),
-                        capture_ref,
-                        (enc_gate, enc_carry[0]) if enc_reuse else None,
-                    )
-                    eps_a = eps_a.astype(jnp.float32)
-                    inj_qk = {n: (q[3:4], k[3:4])
-                              for n, (q, k) in aux["self_qk"].items()}
-                    inj_res = {n: f[3:4]
-                               for n, f in aux["resnet_hidden"].items()}
+
+                    def _quad(_):
+                        eps_a, aux, _ = unet_fwd(
+                            xa, t, ea,
+                            {"text_embeds": pa,
+                             "time_ids": jnp.tile(time_ids, (4, 1))},
+                            UNetControls(token_weights=twa, token_signs=tsa),
+                            capture_ref, None,
+                        )
+                        inj_qk = {n: (q[3:4], k[3:4])
+                                  for n, (q, k) in aux["self_qk"].items()}
+                        inj_res = {n: f[3:4]
+                                   for n, f in aux["resnet_hidden"].items()}
+                        return eps_a.astype(jnp.float32), inj_qk, inj_res
+
+                    if ref_skip:
+                        # Steps past the last refer-trajectory USE (final
+                        # injection-gate step / background-injection step)
+                        # compute garbage the reference then discards — the
+                        # cond drops the two refer rows there (B=4 → B=2),
+                        # output-exact vs the reference loop. Requires
+                        # enc_reuse off (the encoder cache shape differs).
+                        def _pair(_):
+                            tw2 = ts2 = None
+                            if use_tw:
+                                tw2, ts2 = twa[:2], tsa[:2]
+                            eps2, _, _ = unet_fwd(
+                                xa[:2], t, ea[:2],
+                                {"text_embeds": pa[:2],
+                                 "time_ids": jnp.tile(time_ids, (2, 1))},
+                                UNetControls(token_weights=tw2,
+                                             token_signs=ts2),
+                                EMPTY_CAPTURE, None,
+                            )
+                            eps2 = eps2.astype(jnp.float32)
+                            zq, zr = zero_inj
+                            return (jnp.concatenate(
+                                [eps2, jnp.zeros_like(eps2)], 0), zq, zr)
+
+                        eps_a, inj_qk, inj_res = jax.lax.cond(
+                            ctl["ref_step_gates"][i], _quad, _pair, None
+                        )
+                    elif enc_reuse:
+                        eps_a, aux, enc_a = unet_fwd(
+                            xa, t, ea,
+                            {"text_embeds": pa,
+                             "time_ids": jnp.tile(time_ids, (4, 1))},
+                            UNetControls(token_weights=twa, token_signs=tsa),
+                            capture_ref,
+                            (enc_gate, enc_carry[0]),
+                        )
+                        eps_a = eps_a.astype(jnp.float32)
+                        inj_qk = {n: (q[3:4], k[3:4])
+                                  for n, (q, k) in aux["self_qk"].items()}
+                        inj_res = {n: f[3:4]
+                                   for n, f in aux["resnet_hidden"].items()}
+                    else:
+                        eps_a, inj_qk, inj_res = _quad(None)
                     xb = constrain(jnp.tile(x_in, (R, 1, 1, 1)))
                     eps_b, _, enc_b = unet_fwd(
                         xb, t, embeds[1:1 + R],
