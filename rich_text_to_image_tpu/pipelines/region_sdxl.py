@@ -446,22 +446,38 @@ class RegionDiffusionXL(MeshDecodeMixin):
                     "text_embeds": pooled,
                     "time_ids": jnp.tile(time_ids, (2, 1)),
                 }
-                eps, aux = unet.apply(params, x, t, embeds, added_cond=added,
-                                      capture=capture)
-                w = (i >= agg_start).astype(jnp.float32)
-                # SDXL accumulates self maps over steps (no overwrite quirk)
-                if self_layers:
-                    self_sum = self_sum + w * sum(
+
+                # steps before agg_start would compute captures weighted by
+                # zero (the reference runs its hooks and discards) — the
+                # cond runs a capture-free forward there instead
+                def _cap(_):
+                    eps, aux = unet.apply(params, x, t, embeds,
+                                          added_cond=added, capture=capture)
+                    d_self = sum(
                         aux["self_probs"][n][1].astype(jnp.float32)
                         for n in self_layers
+                    ) if self_layers else jnp.zeros_like(self_sum)
+                    d_cross = tuple(
+                        sum(aux["cross_probs"][n][1].astype(jnp.float32)
+                            for n in ns)
+                        for _, ns in cross_items
                     )
-                cross = tuple(
-                    c + w * sum(
-                        aux["cross_probs"][n][1].astype(jnp.float32)
-                        for n in ns
-                    )
-                    for c, (_, ns) in zip(cross, cross_items)
-                )
+                    return eps, d_self, d_cross
+
+                def _nocap(_):
+                    eps, _ = unet.apply(params, x, t, embeds,
+                                        added_cond=added)
+                    return (eps, jnp.zeros_like(self_sum),
+                            tuple(jnp.zeros_like(c) for c in cross0))
+
+                if agg_start > 0:
+                    eps, d_self, d_cross = jax.lax.cond(
+                        i >= agg_start, _cap, _nocap, None)
+                else:
+                    eps, d_self, d_cross = _cap(None)
+                # SDXL accumulates self maps over steps (no overwrite quirk)
+                self_sum = self_sum + d_self
+                cross = tuple(c + d for c, d in zip(cross, d_cross))
                 eps = eps.astype(jnp.float32)
                 e = eps[0:1] + g * (eps[1:2] - eps[0:1])
                 lat, st = sched.step(plan, i, st, e, lat)
@@ -646,35 +662,6 @@ class RegionDiffusionXL(MeshDecodeMixin):
                     lambda s: jnp.zeros(s.shape, s.dtype), shapes
                 )
 
-            zero_inj = None
-            if ref_skip:
-                # zero-filled (inj_qk, inj_res) trees shaped like the quad
-                # forward's captures, for the refer-skip cond branch
-                def _inj_shapes(p, lat1, ee, pool1, tid):
-                    xa_ = jnp.concatenate([lat1] * 4, axis=0)
-                    ea_ = jnp.stack([ee[0], ee[-1], ee[0], ee[-1]], 0)
-                    added = {
-                        "text_embeds": jnp.concatenate([pool1[0:1]] * 4, 0),
-                        "time_ids": jnp.tile(tid, (4, 1)),
-                    }
-                    emb = unet.apply(p, jnp.int32(0), 4, added,
-                                     method=unet.embed_time)
-                    enc = unet.apply(p, xa_, emb, ea_, None, capture_ref,
-                                     method=unet.encode)
-                    _, aux = unet.apply(p, enc, emb, ea_, None, capture_ref,
-                                        method=unet.decode)
-                    inj_qk = {n: (q[3:4], k[3:4])
-                              for n, (q, k) in aux["self_qk"].items()}
-                    inj_res = {n: f[3:4]
-                               for n, f in aux["resnet_hidden"].items()}
-                    return inj_qk, inj_res
-
-                shapes = jax.eval_shape(_inj_shapes, params, latents, embeds,
-                                        pooled, time_ids)
-                zero_inj = jax.tree_util.tree_map(
-                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
-                )
-
             def body(carry, i):
                 lat, lat_ref, st, st_ref, enc_carry = carry
                 t = plan.timesteps[i]
@@ -698,80 +685,97 @@ class RegionDiffusionXL(MeshDecodeMixin):
                         tsa = jnp.ones((4, 77), jnp.float32).at[1].set(
                             ctl["ts_rows"][-1])
 
-                    def _quad(_):
-                        eps_a, aux, _ = unet_fwd(
-                            xa, t, ea,
-                            {"text_embeds": pa,
-                             "time_ids": jnp.tile(time_ids, (4, 1))},
-                            UNetControls(token_weights=twa, token_signs=tsa),
-                            capture_ref, None,
+                    def _spans(inj_qk, inj_res, enc_cache):
+                        xb = constrain(jnp.tile(x_in, (R, 1, 1, 1)))
+                        return unet_fwd(
+                            xb, t, embeds[1:1 + R],
+                            {"text_embeds": pooled[1:1 + R],
+                             "time_ids": jnp.tile(time_ids, (R, 1))},
+                            UNetControls(
+                                inject_gate=gate, inject_qk=inj_qk,
+                                inject_resnet=inj_res,
+                            ),
+                            EMPTY_CAPTURE, enc_cache,
                         )
-                        inj_qk = {n: (q[3:4], k[3:4])
-                                  for n, (q, k) in aux["self_qk"].items()}
-                        inj_res = {n: f[3:4]
-                                   for n, f in aux["resnet_hidden"].items()}
-                        return eps_a.astype(jnp.float32), inj_qk, inj_res
 
-                    if ref_skip:
-                        # Steps past the last refer-trajectory USE (final
-                        # injection-gate step / background-injection step)
-                        # compute garbage the reference then discards — the
-                        # cond drops the two refer rows there (B=4 → B=2),
-                        # output-exact vs the reference loop. Requires
-                        # enc_reuse off (the encoder cache shape differs).
-                        def _pair(_):
-                            tw2 = ts2 = None
-                            if use_tw:
-                                tw2, ts2 = twa[:2], tsa[:2]
-                            eps2, _, _ = unet_fwd(
-                                xa[:2], t, ea[:2],
-                                {"text_embeds": pa[:2],
-                                 "time_ids": jnp.tile(time_ids, (2, 1))},
-                                UNetControls(token_weights=tw2,
-                                             token_signs=ts2),
-                                EMPTY_CAPTURE, None,
-                            )
-                            eps2 = eps2.astype(jnp.float32)
-                            zq, zr = zero_inj
-                            return (jnp.concatenate(
-                                [eps2, jnp.zeros_like(eps2)], 0), zq, zr)
-
-                        eps_a, inj_qk, inj_res = jax.lax.cond(
-                            ctl["ref_step_gates"][i], _quad, _pair, None
-                        )
-                    elif enc_reuse:
+                    def _quad(enc_cache):
                         eps_a, aux, enc_a = unet_fwd(
                             xa, t, ea,
                             {"text_embeds": pa,
                              "time_ids": jnp.tile(time_ids, (4, 1))},
                             UNetControls(token_weights=twa, token_signs=tsa),
-                            capture_ref,
-                            (enc_gate, enc_carry[0]),
+                            capture_ref, enc_cache,
                         )
-                        eps_a = eps_a.astype(jnp.float32)
                         inj_qk = {n: (q[3:4], k[3:4])
                                   for n, (q, k) in aux["self_qk"].items()}
                         inj_res = {n: f[3:4]
                                    for n, f in aux["resnet_hidden"].items()}
+                        return eps_a.astype(jnp.float32), inj_qk, inj_res, enc_a
+
+                    if ref_skip:
+                        # Steps past the last refer-trajectory USE (final
+                        # injection-gate step / background-injection step)
+                        # compute garbage the reference then discards — the
+                        # cond drops the two refer rows there and merges the
+                        # remaining current-trajectory rows into ONE
+                        # [uncond, base, spans...] forward (2 launches of
+                        # 4+R rows → 1 launch of 2+R), output-exact vs the
+                        # reference loop. Requires enc_reuse off (the
+                        # encoder cache shapes differ between branches).
+                        def _with_ref(_):
+                            eps_a, inj_qk, inj_res, _ = _quad(None)
+                            eps_b, _, _ = _spans(inj_qk, inj_res, None)
+                            return (eps_a[0:1], eps_a[1:2],
+                                    eps_b.astype(jnp.float32),
+                                    eps_a[2:3]
+                                    + ctl["g"] * (eps_a[3:4] - eps_a[2:3]))
+
+                        def _no_ref(_):
+                            xm = constrain(
+                                jnp.concatenate([x_in] * (R + 2), axis=0))
+                            em = jnp.concatenate(
+                                [embeds[0:1], embeds[-1:],
+                                 embeds[1:1 + R]], 0)
+                            pm = jnp.concatenate(
+                                [pooled[0:1], pooled[-1:],
+                                 pooled[1:1 + R]], 0)
+                            twm = tsm = None
+                            if use_tw:
+                                twm = jnp.ones(
+                                    (R + 2, 77), jnp.float32
+                                ).at[1].set(ctl["tw_rows"][-1])
+                                tsm = jnp.ones(
+                                    (R + 2, 77), jnp.float32
+                                ).at[1].set(ctl["ts_rows"][-1])
+                            epsm, _, _ = unet_fwd(
+                                xm, t, em,
+                                {"text_embeds": pm,
+                                 "time_ids": jnp.tile(time_ids, (R + 2, 1))},
+                                UNetControls(token_weights=twm,
+                                             token_signs=tsm),
+                                EMPTY_CAPTURE, None,
+                            )
+                            epsm = epsm.astype(jnp.float32)
+                            return (epsm[0:1], epsm[1:2], epsm[2:],
+                                    jnp.zeros_like(epsm[0:1]))
+
+                        eps_uncond, eps_base, eps_spans, eps_ref = (
+                            jax.lax.cond(ctl["ref_step_gates"][i],
+                                         _with_ref, _no_ref, None)
+                        )
+                        enc_new = ()
                     else:
-                        eps_a, inj_qk, inj_res = _quad(None)
-                    xb = constrain(jnp.tile(x_in, (R, 1, 1, 1)))
-                    eps_b, _, enc_b = unet_fwd(
-                        xb, t, embeds[1:1 + R],
-                        {"text_embeds": pooled[1:1 + R],
-                         "time_ids": jnp.tile(time_ids, (R, 1))},
-                        UNetControls(
-                            inject_gate=gate, inject_qk=inj_qk,
-                            inject_resnet=inj_res,
-                        ),
-                        EMPTY_CAPTURE,
-                        (enc_gate, enc_carry[1]) if enc_reuse else None,
-                    )
-                    eps_b = eps_b.astype(jnp.float32)
-                    enc_new = (enc_a, enc_b) if enc_reuse else ()
-                    eps_uncond, eps_base = eps_a[0:1], eps_a[1:2]
-                    eps_spans = eps_b
-                    eps_ref = eps_a[2:3] + ctl["g"] * (eps_a[3:4] - eps_a[2:3])
+                        eps_a, inj_qk, inj_res, enc_a = _quad(
+                            (enc_gate, enc_carry[0]) if enc_reuse else None)
+                        eps_b, _, enc_b = _spans(
+                            inj_qk, inj_res,
+                            (enc_gate, enc_carry[1]) if enc_reuse else None)
+                        eps_b = eps_b.astype(jnp.float32)
+                        enc_new = (enc_a, enc_b) if enc_reuse else ()
+                        eps_uncond, eps_base = eps_a[0:1], eps_a[1:2]
+                        eps_spans = eps_b
+                        eps_ref = (eps_a[2:3]
+                                   + ctl["g"] * (eps_a[3:4] - eps_a[2:3]))
                 else:
                     x = constrain(jnp.concatenate([x_in] * (R + 2), axis=0))
                     controls = UNetControls(
