@@ -65,13 +65,25 @@ def _e2e_flops(model, model_kind, steps):
     )
 
     xl = model_kind == "sdxl"
-    n_spans = len(model.masks) - 1  # masks = spans + background
-    per_step = (
-        unet_fwd_flops(model, 2, xl)            # plain pass CFG forward
-        + unet_fwd_flops(model, 4 if xl else 2, xl)  # rich: u+base (+refer)
-        + unet_fwd_flops(model, max(n_spans, 1), xl)  # rich: span rows
-    )
-    return steps * per_step + 2 * vae_decode_flops(model)
+    R = max(len(model.masks) - 1, 1)  # span rows (masks = spans + bg)
+    f_plain = unet_fwd_flops(model, 2, xl)
+    if xl:
+        # bench XL knobs: inject 0.2 / bg 0.3 → the refer pair rides the
+        # first forward (B=4) only through the trajectory's last use
+        # (region_sdxl.py ref_skip); merged [uncond,base,spans] after
+        inj, bg = 0.2, 0.3
+        n_inject = sum(1 for i in range(steps)
+                       if 999 * (1 - i / (steps - 1)) > (1 - inj) * 1000)
+        last_use = max(int(bg * steps), n_inject - 1)
+        ref_steps = min(last_use + 1, steps)
+        f_rich = (
+            ref_steps * (unet_fwd_flops(model, 4, xl)
+                         + unet_fwd_flops(model, R, xl))
+            + (steps - ref_steps) * unet_fwd_flops(model, R + 2, xl)
+        )
+    else:
+        f_rich = steps * (f_plain + unet_fwd_flops(model, R, xl))
+    return steps * f_plain + f_rich + 2 * vae_decode_flops(model)
 
 
 def _run(model_kind):

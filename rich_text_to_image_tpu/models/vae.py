@@ -104,19 +104,28 @@ class Encoder(nn.Module):
 class Decoder(nn.Module):
     cfg: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    # per-block rematerialization: bounds the VJP's live set to one block's
+    # internals (block-boundary activations only are saved). A whole-decode
+    # jax.checkpoint does NOT bound the peak — inside the region the
+    # backward still differentiates the full decoder — so the fp32 color-
+    # guidance gradient at SDXL's 1024² needs this to fit a 16 GB chip.
+    # Param tree is unchanged (nn.remat preserves module names).
+    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, z):
         cfg = self.cfg
+        Res = nn.remat(VAEResnet) if self.remat_blocks else VAEResnet
+        Attn = nn.remat(VAEAttention) if self.remat_blocks else VAEAttention
         rev = list(reversed(cfg.block_out_channels))
         x = _conv(rev[0], dtype=self.dtype, name="conv_in")(z)
-        x = VAEResnet(rev[0], cfg.norm_num_groups, self.dtype, name="mid_res_0")(x)
-        x = VAEAttention(cfg.norm_num_groups, self.dtype, name="mid_attn")(x)
-        x = VAEResnet(rev[0], cfg.norm_num_groups, self.dtype, name="mid_res_1")(x)
+        x = Res(rev[0], cfg.norm_num_groups, self.dtype, name="mid_res_0")(x)
+        x = Attn(cfg.norm_num_groups, self.dtype, name="mid_attn")(x)
+        x = Res(rev[0], cfg.norm_num_groups, self.dtype, name="mid_res_1")(x)
         for lvl, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
-                x = VAEResnet(ch, cfg.norm_num_groups, self.dtype,
-                              name=f"up_{lvl}_res_{j}")(x)
+                x = Res(ch, cfg.norm_num_groups, self.dtype,
+                        name=f"up_{lvl}_res_{j}")(x)
             if lvl != len(rev) - 1:
                 B, H, W, C = x.shape
                 x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
@@ -129,10 +138,12 @@ class Decoder(nn.Module):
 class AutoencoderKL(nn.Module):
     cfg: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    remat_blocks: bool = False  # see Decoder.remat_blocks
 
     def setup(self):
         self.encoder = Encoder(self.cfg, self.dtype)
-        self.decoder = Decoder(self.cfg, self.dtype)
+        self.decoder = Decoder(self.cfg, self.dtype,
+                               remat_blocks=self.remat_blocks)
         self.quant_conv = _conv(
             2 * self.cfg.latent_channels, kernel=1, pad=0, dtype=self.dtype,
             name="quant_conv",

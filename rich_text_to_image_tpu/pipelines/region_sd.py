@@ -306,30 +306,60 @@ class RegionDiffusion(MeshDecodeMixin):
             )
             st0 = sched.init_state(latents.shape)
 
+            cross_capture = CaptureSpec(
+                cross_probs=frozenset(n for _, ns in cross_items for n in ns)
+            )
+
             def body(carry, i):
                 lat, st, self_sum, cross = carry
                 t = plan.timesteps[i]
                 x = constrain(sched.scale_model_input(
                     plan, i, jnp.concatenate([lat, lat], axis=0)))
-                eps, aux = unet.apply(
-                    params, x, t, embeds, capture=capture
-                )
+
                 # --- aggregate capture (cond row = 1)
                 # SD quirk parity: self maps overwrite each step (the
                 # reference's crossattn_maps-membership bug makes
                 # selfattn_maps hold only the last step's maps,
-                # region_diffusion.py:422-426).
-                new_self = sum(
-                    aux["self_probs"][n][1].astype(jnp.float32)
-                    for n in self_layers
-                ) if self_layers else self_sum
-                w = (i >= agg_start).astype(jnp.float32)
-                new_cross = tuple(
-                    c + w * sum(
-                        aux["cross_probs"][n][1].astype(jnp.float32) for n in ns
-                    )
-                    for c, (_, ns) in zip(cross, cross_items)
+                # region_diffusion.py:422-426) — so only the LAST step needs
+                # the self-probs capture; cross probs accumulate from
+                # agg_start; earlier steps run capture-free. lax.switch
+                # executes one branch per step (the reference runs its hooks
+                # on every step and discards the results).
+                def _none(_):
+                    eps, _ = unet.apply(params, x, t, embeds)
+                    return (eps, self_sum,
+                            tuple(jnp.zeros_like(c) for c in cross0))
+
+                def _cross_only(_):
+                    eps, aux = unet.apply(params, x, t, embeds,
+                                          capture=cross_capture)
+                    return (eps, self_sum, tuple(
+                        sum(aux["cross_probs"][n][1].astype(jnp.float32)
+                            for n in ns)
+                        for _, ns in cross_items
+                    ))
+
+                def _full(_):
+                    eps, aux = unet.apply(params, x, t, embeds,
+                                          capture=capture)
+                    new_self = sum(
+                        aux["self_probs"][n][1].astype(jnp.float32)
+                        for n in self_layers
+                    ) if self_layers else self_sum
+                    w = (i >= agg_start).astype(jnp.float32)
+                    return (eps, new_self, tuple(
+                        w * sum(aux["cross_probs"][n][1].astype(jnp.float32)
+                                for n in ns)
+                        for _, ns in cross_items
+                    ))
+
+                idx = jnp.where(
+                    i == num_steps - 1, 2,
+                    jnp.where(i >= agg_start, 1, 0),
                 )
+                eps, new_self, d_cross = jax.lax.switch(
+                    idx, [_none, _cross_only, _full], None)
+                new_cross = tuple(c + d for c, d in zip(cross, d_cross))
                 eps = eps.astype(jnp.float32)
                 e = eps[0:1] + g * (eps[1:2] - eps[0:1])
                 lat, st = sched.step(plan, i, st, e, lat)

@@ -605,9 +605,14 @@ class RegionDiffusionXL(MeshDecodeMixin):
         sched = self.scheduler
         unet = self.unet
         # bf16 guidance decode: fp32-range, ~3× cheaper gradient; the
-        # reference's fp16 SDXL VAE overflow concern does not apply
-        vae = (AutoencoderKL(self.vae_cfg, dtype=jnp.bfloat16)
-               if bf16_guidance else self.vae)
+        # reference's fp16 SDXL VAE overflow concern does not apply.
+        # remat_blocks: the fp32 VJP through the decoder at 1024² exceeds
+        # 16 GB HBM without per-block rematerialization (vae.py)
+        vae = AutoencoderKL(
+            self.vae_cfg,
+            dtype=jnp.bfloat16 if bf16_guidance else jnp.float32,
+            remat_blocks=True,
+        )
         vae_cfg = self.vae_cfg
         constrain = self._constrain_batch
         R = n_styles - 1

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(steps=50):
+def main(steps=50, standalone_only=False):
     jax.config.update("jax_compilation_cache_dir", "/tmp/rtxi_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from rich_text_to_image_tpu.pipelines.region_sdxl import RegionDiffusionXL
@@ -54,14 +54,22 @@ def main(steps=50):
             )
         if report:
             peak, kind = peak_flops()
-            # phase FLOPs from the cost model (programs already compiled)
+            # phase FLOPs from the cost model (programs already compiled);
+            # rich accounts for ref_skip: the B=4+B=R split runs only
+            # through the refer trajectory's last use (inject 0.2/bg 0.3),
+            # merged B=R+2 after (region_sdxl.py)
             f2 = unet_fwd_flops(model, 2, xl=True)
             f4 = unet_fwd_flops(model, 4, xl=True)
             fdec = vae_decode_flops(model)
+            n_inject = sum(
+                1 for i in range(steps)
+                if 999 * (1 - i / (steps - 1)) > (1 - 0.2) * 1000)
+            ref_steps = min(max(int(0.3 * steps), n_inject - 1) + 1, steps)
             fl = {
                 "plain_pass+decode": steps * f2 + fdec,
                 "token_maps": None,  # bandwidth/host-bound, not FLOP-bound
-                "rich_pass+decode": steps * (f4 + f2) + fdec,
+                "rich_pass+decode": (ref_steps * (f4 + f2)
+                                     + (steps - ref_steps) * f4 + fdec),
             }
             rep = phase_report()
             total = sum(rep.values())
@@ -79,9 +87,10 @@ def main(steps=50):
                 "peak_tflops_s": round(peak / 1e12, 0),
             }), flush=True)
 
-    one_pass()  # warmup/compile
-    phase_report()  # drop warmup numbers
-    one_pass(report=True)
+    if not standalone_only:
+        one_pass()  # warmup/compile
+        phase_report()  # drop warmup numbers
+        one_pass(report=True)
 
     # ---- standalone: rich 6-row step (the hot program, isolated)
     from rich_text_to_image_tpu.utils.flops import peak_flops as _pf
@@ -126,8 +135,7 @@ def main(steps=50):
     for tag, g_dt in (("fp32", jnp.float32), ("bf16", jnp.bfloat16)):
         from rich_text_to_image_tpu.models.vae import AutoencoderKL
 
-        vae = (model.vae if g_dt == jnp.float32
-               else AutoencoderKL(model.vae_cfg, dtype=jnp.bfloat16))
+        vae = AutoencoderKL(model.vae_cfg, dtype=g_dt, remat_blocks=True)
         m_px = jnp.asarray(np.random.RandomState(0).rand(1, px, px),
                            jnp.float32)
         tgt = jnp.asarray([[0.8, 0.1, 0.1]], jnp.float32)
@@ -164,4 +172,5 @@ def main(steps=50):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50,
+         standalone_only="standalone" in sys.argv[2:])

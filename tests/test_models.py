@@ -233,3 +233,30 @@ def test_clip_causal():
     np.testing.assert_allclose(np.asarray(o1[0, :3]), np.asarray(o2[0, :3]),
                                rtol=1e-5)
     assert np.abs(np.asarray(o1[0, 3]) - np.asarray(o2[0, 3])).max() > 1e-4
+
+
+def test_vae_decoder_remat_blocks_parity():
+    """remat_blocks must not change the param tree, outputs, or gradients —
+    only the VJP's memory schedule (models/vae.py Decoder.remat_blocks)."""
+    plain = AutoencoderKL(cfg.TINY_VAE)
+    remat = AutoencoderKL(cfg.TINY_VAE, remat_blocks=True)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 16, 16, 3))
+    params = plain.init(rng, x)
+    # same param tree → the remat module accepts the plain params verbatim
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+    y_plain = plain.apply(params, z, method=plain.decode)
+    y_remat = remat.apply(params, z, method=remat.decode)
+    np.testing.assert_allclose(np.asarray(y_plain), np.asarray(y_remat),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(mod):
+        def f(zz):
+            img = mod.apply(params, zz, method=mod.decode)
+            return jnp.mean(jnp.clip(img / 2 + 0.5, 0, 1) ** 2)
+        return f
+
+    g_plain = jax.grad(loss(plain))(z)
+    g_remat = jax.grad(loss(remat))(z)
+    np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_remat),
+                               rtol=1e-5, atol=1e-6)
