@@ -903,6 +903,17 @@ class RegionDiffusion(MeshDecodeMixin):
         )
         bg_step = int(inject_background * S)
         bg_gates = (np.arange(S) == bg_step) & (inject_background > 0)
+        # Past the refer trajectory's last USE (final injection-gate step /
+        # the background-injection step) its two rows + (Q,K)+resnet capture
+        # are dead compute — same ref-skip as RegionDiffusionXL._sample_rich:
+        # drop them and merge the per-item rows into ONE [uncond|base|region]
+        # forward. Output-exact (the frozen ref/st_ref are never read again).
+        inject_steps = np.nonzero(inject_gates)[0]
+        last_inject = int(inject_steps[-1]) if len(inject_steps) else -1
+        last_bg = bg_step if inject_background > 0 else -1
+        last_use = max(last_inject, last_bg)
+        ref_step_gates = np.arange(S) <= last_use
+        ref_skip = bool(not ref_step_gates.all())
         guidance_gates = plan.timesteps.astype(np.int64) < guidance_start_step
         alpha_raw = self.scheduler.alphas_cumprod[plan.timesteps].astype(
             np.float32
@@ -911,13 +922,15 @@ class RegionDiffusion(MeshDecodeMixin):
             np.stack([np.asarray(m).reshape(h, w) for m in self.masks])
         )[..., None]  # [2, h, w, 1]
 
-        fn = self._colorbatch_fn((h, w), S, K, bf16_guidance)
+        fn = self._colorbatch_fn((h, w), S, K, bf16_guidance,
+                                 ref_skip=ref_skip)
         lat = fn(
             self.unet_params, self.vae_params, lat0, ref0, embeds, masks,
             _plan_arrays(plan),
             dict(
                 g=jnp.float32(guidance_scale),
                 inject_gates=jnp.asarray(inject_gates),
+                ref_step_gates=jnp.asarray(ref_step_gates),
                 bg_gates=jnp.asarray(bg_gates),
                 guidance_gates=jnp.asarray(guidance_gates),
                 alpha_raw=jnp.asarray(alpha_raw),
@@ -933,8 +946,9 @@ class RegionDiffusion(MeshDecodeMixin):
         )
         return self.decode_latents(lat)
 
-    def _colorbatch_fn(self, latent_hw, num_steps, K, bf16_guidance=False):
-        key = ("colorbatch", latent_hw, num_steps, K, bf16_guidance)
+    def _colorbatch_fn(self, latent_hw, num_steps, K, bf16_guidance=False,
+                       ref_skip=False):
+        key = ("colorbatch", latent_hw, num_steps, K, bf16_guidance, ref_skip)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
@@ -964,33 +978,64 @@ class RegionDiffusion(MeshDecodeMixin):
                 lat_in = sched.scale_model_input(plan, i, lat)  # [K,...]
                 ref_in = sched.scale_model_input(plan, i, ref)  # [1,...]
 
-                # reference rows (shared): [ref_uncond, ref_base]
-                xr = jnp.concatenate([ref_in, ref_in], 0)
-                er = jnp.stack([uncond_e, base_e], 0)
-                eps_r, aux = unet.apply(params, xr, t, er,
-                                        capture=capture_ref)
-                eps_r = eps_r.astype(jnp.float32)
-                inj_qk = {
-                    n: (q[1:2], k[1:2]) for n, (q, k) in aux["self_qk"].items()
-                }
-                inj_res = {n: f[1:2] for n, f in aux["resnet_hidden"].items()}
-                controls = UNetControls(
-                    inject_gate=gate, inject_qk=inj_qk, inject_resnet=inj_res,
-                )
-                # per-item rows: [uncond_k | base_k | region_k] — the region
-                # rows get the injected (Q,K)/feature broadcast over items;
-                # uncond/base rows run clean, so they go in a separate call
-                xb = constrain(jnp.concatenate([lat_in, lat_in], 0))
-                eb = jnp.concatenate([
-                    jnp.tile(uncond_e[None], (K, 1, 1)),
-                    jnp.tile(base_e[None], (K, 1, 1)),
-                ], 0)
-                eps_ub, _ = unet.apply(params, xb, t, eb)
-                eps_ub = eps_ub.astype(jnp.float32)
-                eps_reg, _ = unet.apply(params, constrain(lat_in), t,
-                                        region_e, controls=controls)
-                eps_reg = eps_reg.astype(jnp.float32)
-                eps_uncond, eps_base = eps_ub[:K], eps_ub[K:]
+                def _with_ref(_):
+                    # reference rows (shared): [ref_uncond, ref_base]
+                    xr = jnp.concatenate([ref_in, ref_in], 0)
+                    er = jnp.stack([uncond_e, base_e], 0)
+                    eps_r, aux = unet.apply(params, xr, t, er,
+                                            capture=capture_ref)
+                    eps_r = eps_r.astype(jnp.float32)
+                    inj_qk = {
+                        n: (q[1:2], k[1:2])
+                        for n, (q, k) in aux["self_qk"].items()
+                    }
+                    inj_res = {
+                        n: f[1:2] for n, f in aux["resnet_hidden"].items()
+                    }
+                    controls = UNetControls(
+                        inject_gate=gate, inject_qk=inj_qk,
+                        inject_resnet=inj_res,
+                    )
+                    # per-item rows: [uncond_k | base_k | region_k] — the
+                    # region rows get the injected (Q,K)/feature broadcast
+                    # over items; uncond/base rows run clean, so they go in
+                    # a separate call
+                    xb = constrain(jnp.concatenate([lat_in, lat_in], 0))
+                    eb = jnp.concatenate([
+                        jnp.tile(uncond_e[None], (K, 1, 1)),
+                        jnp.tile(base_e[None], (K, 1, 1)),
+                    ], 0)
+                    eps_ub, _ = unet.apply(params, xb, t, eb)
+                    eps_ub = eps_ub.astype(jnp.float32)
+                    eps_reg, _ = unet.apply(params, constrain(lat_in), t,
+                                            region_e, controls=controls)
+                    eps_reg = eps_reg.astype(jnp.float32)
+                    eps_ref = (eps_r[0:1]
+                               + ctl["g"] * (eps_r[1:2] - eps_r[0:1]))
+                    return eps_ub[:K], eps_ub[K:], eps_reg, eps_ref
+
+                def _no_ref(_):
+                    # ref-skip steps: one merged [uncond_k|base_k|region_k]
+                    # forward, capture/controls-free (3 launches of 2+2K+K
+                    # rows → 1 launch of 3K)
+                    xm = constrain(
+                        jnp.concatenate([lat_in, lat_in, lat_in], 0))
+                    em = jnp.concatenate([
+                        jnp.tile(uncond_e[None], (K, 1, 1)),
+                        jnp.tile(base_e[None], (K, 1, 1)),
+                        region_e,
+                    ], 0)
+                    epsm, _ = unet.apply(params, xm, t, em)
+                    epsm = epsm.astype(jnp.float32)
+                    return (epsm[:K], epsm[K:2 * K], epsm[2 * K:],
+                            jnp.zeros((1,) + lat_in.shape[1:], jnp.float32))
+
+                if ref_skip:
+                    eps_uncond, eps_base, eps_reg, eps_ref = jax.lax.cond(
+                        ctl["ref_step_gates"][i], _with_ref, _no_ref, None
+                    )
+                else:
+                    eps_uncond, eps_base, eps_reg, eps_ref = _with_ref(None)
 
                 # composite under [region, background] masks
                 mask_sum = masks.sum(0)  # [h,w,1]
@@ -998,10 +1043,22 @@ class RegionDiffusion(MeshDecodeMixin):
                 noise_text = (eps_base * masks[1][None]
                               + eps_reg * masks[0][None])
                 noise = noise_uncond + ctl["g"] * (noise_text - noise_uncond)
-                eps_ref = eps_r[0:1] + ctl["g"] * (eps_r[1:2] - eps_r[0:1])
 
                 lat, st = sched.step(plan, i, st, noise, lat)
-                ref, st_ref = sched.step(plan, i, st_ref, eps_ref, ref)
+                if ref_skip:
+                    # freeze ref + st_ref on skip steps (ref is never read
+                    # again; keeps multistep-scheduler history in sync)
+                    def _adv(a):
+                        r, s = sched.step(plan, i, a[0], eps_ref, a[1])
+                        return r, s
+
+                    ref, st_ref = jax.lax.cond(
+                        ctl["ref_step_gates"][i], _adv,
+                        lambda a: (a[1], a[0]),
+                        (st_ref, ref),
+                    )
+                else:
+                    ref, st_ref = sched.step(plan, i, st_ref, eps_ref, ref)
 
                 # color guidance: the loss decomposes per item, and the
                 # VAE forward+backward at batch K blows HBM (measured: K=4
