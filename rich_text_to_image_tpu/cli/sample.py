@@ -157,7 +157,8 @@ def run_sample(model, args, param, save=True):
         inject_selfattn=args.inject_selfattn,
         inject_background=args.inject_background,
         text_format_dict=text_format_dict, seed=seed,
-        **({"encoder_reuse": args.encoder_reuse}
+        **({"encoder_reuse": args.encoder_reuse,
+            "encoder_schedule": getattr(args, "encoder_schedule", "early")}
            if args.encoder_reuse > 1 else {}),
         **({"bf16_guidance": True}
            if getattr(args, "bf16_guidance", False) else {}),
@@ -230,6 +231,12 @@ def make_parser():
         help="rich-pass turbo: recompute the UNet encoder only every Nth "
              "step and reuse cached down-path features between (Faster "
              "Diffusion, arXiv 2312.09608). 1 = off (exact reference math)",
+    )
+    parser.add_argument(
+        "--encoder_schedule", choices=["early", "uniform"], default="early",
+        help="key-step placement for --encoder_reuse: 'early' packs key "
+             "steps denser at high noise (the paper's non-uniform "
+             "prescription), 'uniform' spaces them evenly",
     )
     return parser
 

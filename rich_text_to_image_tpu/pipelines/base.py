@@ -12,6 +12,42 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def encoder_key_gates(num_steps: int, stride: int,
+                      schedule: str = "early") -> np.ndarray:
+    """Key-step gates for the encoder-reuse turbo (arXiv 2312.09608 §4).
+
+    ``uniform`` recomputes the UNet down path every ``stride``-th step.
+    ``early`` (default) places the SAME number of key steps on a power
+    curve denser at the start of sampling — encoder features change
+    fastest at high noise, so uniform spacing wastes its budget late;
+    the paper prescribes non-uniform key steps for this reason. Step 0 is
+    always a key step (the scan-carried cache must be written before it
+    is read). Cost is identical to uniform at equal ``stride``.
+    """
+    S = int(num_steps)
+    stride = max(int(stride), 1)
+    gates = np.zeros(S, bool)
+    if stride == 1:
+        gates[:] = True
+        return gates
+    n = len(range(0, S, stride))
+    if schedule == "uniform":
+        gates[::stride] = True
+        return gates
+    if schedule != "early":
+        raise ValueError(f"unknown encoder-reuse schedule: {schedule!r}")
+    idx = set(np.floor(S * (np.arange(n) / n) ** 1.5).astype(int).tolist())
+    # keep the key-step count equal to uniform's: the power curve may
+    # collide early indices — fill from the front (still denser-early)
+    for i in range(S):
+        if len(idx) >= n:
+            break
+        idx.add(i)
+    gates[sorted(idx)] = True
+    return gates
 
 
 class MeshDecodeMixin:

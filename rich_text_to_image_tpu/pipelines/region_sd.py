@@ -49,7 +49,7 @@ from ..utils.registries import (
     attn_layer_resolutions,
 )
 from ..utils.token_maps import SEG_RESOLUTION, AttnAggregates
-from .base import MeshDecodeMixin
+from .base import MeshDecodeMixin, encoder_key_gates
 
 
 @dataclasses.dataclass
@@ -67,6 +67,9 @@ class RichControlSpec:
     # only on key steps (every Nth), reuse the cached (x, skips) between —
     # opt-in approximation the reference has no counterpart for.
     encoder_reuse: int = 1
+    # Key-step placement for encoder_reuse>1: "early" (default, denser at
+    # high noise — the paper's non-uniform prescription) or "uniform"
+    encoder_schedule: str = "early"
     # Opt-in: run the color-guidance VAE decode + gradient in bfloat16
     # (fp32 range). The guidance only consumes a *gradient direction*
     # scaled by color_guidance_weight, and the fp32 decode dominates the
@@ -384,6 +387,7 @@ class RegionDiffusion(MeshDecodeMixin):
         guidance_scale: float = 7.5,
         seed: int = 0,
         encoder_reuse: int = 1,
+        encoder_schedule: str = "early",
     ) -> np.ndarray:
         """Throughput mode: N prompts in one CFG-batched scan (no capture).
 
@@ -406,7 +410,8 @@ class RegionDiffusion(MeshDecodeMixin):
         plan = self.scheduler.plan(num_inference_steps)
         latents = latents * getattr(plan, "init_noise_sigma", 1.0)
         stride = max(int(encoder_reuse), 1)
-        enc_gates = (np.arange(plan.num_steps) % stride == 0)
+        enc_gates = encoder_key_gates(plan.num_steps, stride,
+                                      encoder_schedule)
         fn = self._batch_fn((h, w), plan.num_steps, N, stride > 1)
         lat = fn(
             self.unet_params, latents,
@@ -492,6 +497,7 @@ class RegionDiffusion(MeshDecodeMixin):
         inject_background: float = 0.0,
         seed: int = 0,
         encoder_reuse: int = 1,
+        encoder_schedule: str = "early",
         bf16_guidance: bool = False,
     ) -> np.ndarray:
         """Rich region-based sampling (reference region_diffusion.py:248-273).
@@ -511,6 +517,7 @@ class RegionDiffusion(MeshDecodeMixin):
                 "color_guidance_weight", 1.0
             ),
             encoder_reuse=int(encoder_reuse),
+            encoder_schedule=encoder_schedule,
             bf16_guidance=bool(bf16_guidance),
         )
         lat = self.produce_latents(
@@ -600,11 +607,10 @@ class RegionDiffusion(MeshDecodeMixin):
             target_rgb = jnp.zeros((1, 3))
             color_all = jnp.zeros((1, h, w, 1))
 
-        # encoder-reuse key steps: every Nth step recomputes the down path
-        # (step 0 is always a key step, so the scan-carry cache init is
-        # never consumed before being written)
+        # encoder-reuse key steps (step 0 is always a key step, so the
+        # scan-carry cache init is never consumed before being written)
         stride = max(int(spec.encoder_reuse), 1)
-        enc_gates = (np.arange(S) % stride == 0)
+        enc_gates = encoder_key_gates(S, stride, spec.encoder_schedule)
 
         fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
                            tw is not None, stride > 1,

@@ -42,7 +42,7 @@ from ..ops.attention import make_token_weight_vectors
 from ..schedulers import EulerDiscreteScheduler
 from ..utils.registries import CrossAttentionLayers_XL, attn_layer_resolutions
 from ..utils.token_maps import SEG_RESOLUTION, AttnAggregates
-from .base import MeshDecodeMixin
+from .base import MeshDecodeMixin, encoder_key_gates
 from .region_sd import RichControlSpec, _plan_arrays
 
 
@@ -319,6 +319,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
         crops_coords_top_left: tuple = (0, 0),
         target_size: Optional[tuple] = None,
         encoder_reuse: int = 1,
+        encoder_schedule: str = "early",
         bf16_guidance: bool = False,
     ):
         """Reference single-entry sample() (region_diffusion_sdxl.py:555):
@@ -382,6 +383,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 color_guidance_weight=(text_format_dict or {}).get(
                     "color_guidance_weight", 1.0),
                 encoder_reuse=int(encoder_reuse),
+                encoder_schedule=encoder_schedule,
                 bf16_guidance=bool(bf16_guidance),
             ),
             dict(text_format_dict or {}), latents, (height, width),
@@ -403,7 +405,8 @@ class RegionDiffusionXL(MeshDecodeMixin):
                       width=1024, num_inference_steps=50, guidance_scale=5.0,
                       latents=None, text_format_dict=None, use_guidance=False,
                       inject_selfattn=0.0, inject_background=0.0, seed=0,
-                      encoder_reuse=1, bf16_guidance=False):
+                      encoder_reuse=1, encoder_schedule="early",
+                      bf16_guidance=False):
         return self.sample(
             prompts, negative_prompts, height=height, width=width,
             num_inference_steps=num_inference_steps,
@@ -411,7 +414,8 @@ class RegionDiffusionXL(MeshDecodeMixin):
             use_guidance=use_guidance, inject_selfattn=inject_selfattn,
             inject_background=inject_background,
             text_format_dict=text_format_dict, latents=latents, seed=seed,
-            encoder_reuse=encoder_reuse, bf16_guidance=bf16_guidance,
+            encoder_reuse=encoder_reuse, encoder_schedule=encoder_schedule,
+            bf16_guidance=bf16_guidance,
         )
 
     # ------------------------------------------------------------ plain fn
@@ -563,7 +567,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
             color_all = jnp.zeros((1, h, w, 1))
 
         stride = max(int(spec.encoder_reuse), 1)
-        enc_gates = (np.arange(S) % stride == 0)
+        enc_gates = encoder_key_gates(S, stride, spec.encoder_schedule)
         ref_skip = bool(
             run_reference and stride == 1 and not ref_step_gates.all()
         )
