@@ -46,7 +46,6 @@ from .config import UNetConfig
 
 
 # ------------------------------------------------------------------ controls
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class UNetControls:
     """Traced control inputs (all optional; None = off)."""
@@ -62,6 +61,25 @@ class UNetControls:
     inject_cross: Optional[dict[str, jnp.ndarray]] = None
     cross_mapper: Optional[jnp.ndarray] = None
     cross_mix: Optional[jnp.ndarray] = None
+    # In-batch injection (static metadata): rows [inject_dst[0], inject_dst[1])
+    # take row ``inject_src``'s (Q, K) at every self-attn layer and its
+    # pre-residual feature at INJECT_RESNET_NAME, under ``inject_gate``.
+    # Mathematically identical to the reference's two-forward
+    # capture-(Q,K)-then-inject flow (region_diffusion.py:313-395) but in ONE
+    # merged forward: no per-layer (Q,K) HBM roundtrip between launches, and
+    # the refer + span rows batch onto the MXU together.
+    inject_src: Optional[int] = None
+    inject_dst: Optional[tuple] = None
+
+
+jax.tree_util.register_dataclass(
+    UNetControls,
+    data_fields=[
+        "token_weights", "token_signs", "inject_gate", "inject_qk",
+        "inject_resnet", "inject_cross", "cross_mapper", "cross_mix",
+    ],
+    meta_fields=["inject_src", "inject_dst"],
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,6 +242,19 @@ class ResnetBlock(nn.Module):
                 h_out = injected
             else:
                 h_out = jnp.where(gate, injected, h)
+        elif (
+            controls is not None
+            and controls.inject_src is not None
+            and self.layer_name == INJECT_RESNET_NAME
+        ):
+            # in-batch feature injection (see UNetControls.inject_src)
+            s0 = controls.inject_src
+            d0, d1 = controls.inject_dst
+            hs = jnp.broadcast_to(h[s0:s0 + 1], (d1 - d0,) + h.shape[1:])
+            gate = controls.inject_gate
+            if gate is not None:
+                hs = jnp.where(gate, hs, h[d0:d1])
+            h_out = h.at[d0:d1].set(hs)
         else:
             h_out = h
 
@@ -340,6 +371,20 @@ class Attention(nn.Module):
                     q_used, k_used = qi.astype(q.dtype), ki.astype(k.dtype)
             else:
                 q_used, k_used = q, k
+
+            if controls is not None and controls.inject_src is not None:
+                # in-batch injection: dst rows attend with the src row's
+                # (Q, K) — same math as the two-forward inject_qk flow
+                s0 = controls.inject_src
+                d0, d1 = controls.inject_dst
+                gate = controls.inject_gate
+                qs = jnp.broadcast_to(q[s0:s0 + 1], (d1 - d0,) + q.shape[1:])
+                ks = jnp.broadcast_to(k[s0:s0 + 1], (d1 - d0,) + k.shape[1:])
+                if gate is not None:
+                    qs = jnp.where(gate, qs, q_used[d0:d1])
+                    ks = jnp.where(gate, ks, k_used[d0:d1])
+                q_used = q_used.at[d0:d1].set(qs)
+                k_used = k_used.at[d0:d1].set(ks)
 
             want_probs = name in capture.self_probs
             if want_probs:

@@ -715,7 +715,47 @@ class RegionDiffusion(MeshDecodeMixin):
                 enc_gate = ctl["enc_gates"][i]
                 lat_in = sched.scale_model_input(plan, i, lat)
 
-                if run_reference:
+                if run_reference and not enc_reuse:
+                    # ONE [uncond, base, ref_u, ref_c, spans...] forward: the
+                    # span rows take the ref-cond row's (Q,K) at every attn1
+                    # + its inject-resnet feature IN-BATCH
+                    # (UNetControls.inject_src) — mathematically the
+                    # reference's capture-then-inject forward pair
+                    # (region_diffusion.py:313-395) with no per-layer (Q,K)
+                    # HBM roundtrip and one launch of R+4 rows instead of
+                    # 4 + R.
+                    lat_ref = lat_all[1:2]
+                    ref_in = sched.scale_model_input(plan, i, lat_ref)
+                    xm = constrain(jnp.concatenate(
+                        [lat_in, lat_in, ref_in, ref_in]
+                        + [lat_in] * R, axis=0))
+                    em = jnp.concatenate(
+                        [embeds[0:1], embeds[-1:], embeds[0:1], embeds[-1:],
+                         embeds[1:1 + R]], 0)
+                    twm = tsm = None
+                    if use_tw:
+                        twm = jnp.ones((R + 4, 77), jnp.float32).at[1].set(
+                            ctl["tw_rows"][-1])
+                        tsm = jnp.ones((R + 4, 77), jnp.float32).at[1].set(
+                            ctl["ts_rows"][-1])
+                    epsm, _, _ = unet_fwd(
+                        xm, t, em,
+                        UNetControls(
+                            token_weights=twm, token_signs=tsm,
+                            inject_gate=gate,
+                            inject_src=3, inject_dst=(4, 4 + R),
+                        ),
+                        EMPTY_CAPTURE, None,
+                    )
+                    epsm = epsm.astype(jnp.float32)
+                    enc_new = ()
+                    eps_uncond = epsm[0:1]
+                    eps_base = epsm[1:2]
+                    eps_spans = epsm[4:]
+                    eps_ref = epsm[2:3] + ctl["g"] * (epsm[3:4] - epsm[2:3])
+                elif run_reference:
+                    # encoder-reuse keeps the two-launch flow (the enc caches
+                    # are per-launch pytrees)
                     lat_ref = lat_all[1:2]
                     ref_in = sched.scale_model_input(plan, i, lat_ref)
                     xa = jnp.concatenate([lat_in, lat_in, ref_in, ref_in], 0)
@@ -732,7 +772,7 @@ class RegionDiffusion(MeshDecodeMixin):
                         xa, t, ea,
                         UNetControls(token_weights=twa, token_signs=tsa),
                         capture_ref,
-                        (enc_gate, enc_carry[0]) if enc_reuse else None,
+                        (enc_gate, enc_carry[0]),
                     )
                     eps_a = eps_a.astype(jnp.float32)
                     inj_qk = {
@@ -749,10 +789,10 @@ class RegionDiffusion(MeshDecodeMixin):
                     eb = embeds[1 : 1 + R]
                     eps_b, _, enc_b = unet_fwd(
                         xb, t, eb, controls_b, EMPTY_CAPTURE,
-                        (enc_gate, enc_carry[1]) if enc_reuse else None,
+                        (enc_gate, enc_carry[1]),
                     )
                     eps_b = eps_b.astype(jnp.float32)
-                    enc_new = (enc_a, enc_b) if enc_reuse else ()
+                    enc_new = (enc_a, enc_b)
                     eps_uncond = eps_a[0:1]
                     eps_base = eps_a[1:2]
                     eps_spans = eps_b
@@ -963,9 +1003,6 @@ class RegionDiffusion(MeshDecodeMixin):
                if bf16_guidance else self.vae)
         vae_cfg = self.vae_cfg
         constrain = self._constrain_batch
-        capture_ref = CaptureSpec(
-            qk=True, resnet=frozenset({"up_blocks.1.resnets.1"})
-        )
 
         @jax.jit
         def run(params, vae_params, lat0, ref0, embeds, masks, plan, ctl):
@@ -985,40 +1022,32 @@ class RegionDiffusion(MeshDecodeMixin):
                 ref_in = sched.scale_model_input(plan, i, ref)  # [1,...]
 
                 def _with_ref(_):
-                    # reference rows (shared): [ref_uncond, ref_base]
-                    xr = jnp.concatenate([ref_in, ref_in], 0)
-                    er = jnp.stack([uncond_e, base_e], 0)
-                    eps_r, aux = unet.apply(params, xr, t, er,
-                                            capture=capture_ref)
-                    eps_r = eps_r.astype(jnp.float32)
-                    inj_qk = {
-                        n: (q[1:2], k[1:2])
-                        for n, (q, k) in aux["self_qk"].items()
-                    }
-                    inj_res = {
-                        n: f[1:2] for n, f in aux["resnet_hidden"].items()
-                    }
-                    controls = UNetControls(
-                        inject_gate=gate, inject_qk=inj_qk,
-                        inject_resnet=inj_res,
-                    )
-                    # per-item rows: [uncond_k | base_k | region_k] — the
-                    # region rows get the injected (Q,K)/feature broadcast
-                    # over items; uncond/base rows run clean, so they go in
-                    # a separate call
-                    xb = constrain(jnp.concatenate([lat_in, lat_in], 0))
-                    eb = jnp.concatenate([
+                    # ONE [ref_u, ref_c, uncond_k | base_k | region_k]
+                    # forward: the K region rows take the ref-cond row's
+                    # (Q,K)/inject-resnet feature IN-BATCH
+                    # (UNetControls.inject_src) — the reference's
+                    # capture-then-inject pair with no HBM roundtrip;
+                    # uncond/base rows sit outside inject_dst and run clean
+                    xm = constrain(jnp.concatenate(
+                        [ref_in, ref_in, lat_in, lat_in, lat_in], 0))
+                    em = jnp.concatenate([
+                        uncond_e[None], base_e[None],
                         jnp.tile(uncond_e[None], (K, 1, 1)),
                         jnp.tile(base_e[None], (K, 1, 1)),
+                        region_e,
                     ], 0)
-                    eps_ub, _ = unet.apply(params, xb, t, eb)
-                    eps_ub = eps_ub.astype(jnp.float32)
-                    eps_reg, _ = unet.apply(params, constrain(lat_in), t,
-                                            region_e, controls=controls)
-                    eps_reg = eps_reg.astype(jnp.float32)
-                    eps_ref = (eps_r[0:1]
-                               + ctl["g"] * (eps_r[1:2] - eps_r[0:1]))
-                    return eps_ub[:K], eps_ub[K:], eps_reg, eps_ref
+                    epsm, _ = unet.apply(
+                        params, xm, t, em,
+                        controls=UNetControls(
+                            inject_gate=gate,
+                            inject_src=1, inject_dst=(2 + 2 * K, 2 + 3 * K),
+                        ),
+                    )
+                    epsm = epsm.astype(jnp.float32)
+                    eps_ref = (epsm[0:1]
+                               + ctl["g"] * (epsm[1:2] - epsm[0:1]))
+                    return (epsm[2:2 + K], epsm[2 + K:2 + 2 * K],
+                            epsm[2 + 2 * K:], eps_ref)
 
                 def _no_ref(_):
                     # ref-skip steps: one merged [uncond_k|base_k|region_k]

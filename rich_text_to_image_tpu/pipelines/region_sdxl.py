@@ -721,24 +721,55 @@ class RegionDiffusionXL(MeshDecodeMixin):
                                    for n, f in aux["resnet_hidden"].items()}
                         return eps_a.astype(jnp.float32), inj_qk, inj_res, enc_a
 
-                    if ref_skip:
+                    def _merged_with_ref(_):
+                        # ONE [uncond, base, ref_u, ref_c, spans...] forward:
+                        # the span rows take the ref-cond row's (Q, K) at
+                        # every attn1 + its inject-resnet feature IN-BATCH
+                        # (UNetControls.inject_src) — mathematically the
+                        # reference's capture-then-inject forward pair
+                        # (region_diffusion_sdxl.py:1060-1140) with no
+                        # per-layer (Q,K) HBM roundtrip and one launch of
+                        # R+4 rows instead of 4 + R.
+                        xm = constrain(jnp.concatenate(
+                            [x_in, x_in, x_ref_in, x_ref_in]
+                            + [x_in] * R, axis=0))
+                        em = jnp.concatenate(
+                            [embeds[0:1], embeds[-1:], embeds[0:1],
+                             embeds[-1:], embeds[1:1 + R]], 0)
+                        pm = jnp.concatenate(
+                            [pooled[0:1], pooled[-1:], pooled[0:1],
+                             pooled[-1:], pooled[1:1 + R]], 0)
+                        twm = tsm = None
+                        if use_tw:
+                            twm = jnp.ones((R + 4, 77), jnp.float32).at[1].set(
+                                ctl["tw_rows"][-1])
+                            tsm = jnp.ones((R + 4, 77), jnp.float32).at[1].set(
+                                ctl["ts_rows"][-1])
+                        epsm, _, _ = unet_fwd(
+                            xm, t, em,
+                            {"text_embeds": pm,
+                             "time_ids": jnp.tile(time_ids, (R + 4, 1))},
+                            UNetControls(
+                                token_weights=twm, token_signs=tsm,
+                                inject_gate=gate,
+                                inject_src=3, inject_dst=(4, 4 + R),
+                            ),
+                            EMPTY_CAPTURE, None,
+                        )
+                        epsm = epsm.astype(jnp.float32)
+                        return (epsm[0:1], epsm[1:2], epsm[4:],
+                                epsm[2:3]
+                                + ctl["g"] * (epsm[3:4] - epsm[2:3]))
+
+                    if ref_skip or not enc_reuse:
                         # Steps past the last refer-trajectory USE (final
                         # injection-gate step / background-injection step)
                         # compute garbage the reference then discards — the
                         # cond drops the two refer rows there and merges the
                         # remaining current-trajectory rows into ONE
-                        # [uncond, base, spans...] forward (2 launches of
-                        # 4+R rows → 1 launch of 2+R), output-exact vs the
-                        # reference loop. Requires enc_reuse off (the
+                        # [uncond, base, spans...] forward, output-exact vs
+                        # the reference loop. Requires enc_reuse off (the
                         # encoder cache shapes differ between branches).
-                        def _with_ref(_):
-                            eps_a, inj_qk, inj_res, _ = _quad(None)
-                            eps_b, _, _ = _spans(inj_qk, inj_res, None)
-                            return (eps_a[0:1], eps_a[1:2],
-                                    eps_b.astype(jnp.float32),
-                                    eps_a[2:3]
-                                    + ctl["g"] * (eps_a[3:4] - eps_a[2:3]))
-
                         def _no_ref(_):
                             xm = constrain(
                                 jnp.concatenate([x_in] * (R + 2), axis=0))
@@ -768,19 +799,25 @@ class RegionDiffusionXL(MeshDecodeMixin):
                             return (epsm[0:1], epsm[1:2], epsm[2:],
                                     jnp.zeros_like(epsm[0:1]))
 
-                        eps_uncond, eps_base, eps_spans, eps_ref = (
-                            jax.lax.cond(ctl["ref_step_gates"][i],
-                                         _with_ref, _no_ref, None)
-                        )
+                        if ref_skip:
+                            eps_uncond, eps_base, eps_spans, eps_ref = (
+                                jax.lax.cond(ctl["ref_step_gates"][i],
+                                             _merged_with_ref, _no_ref, None)
+                            )
+                        else:
+                            eps_uncond, eps_base, eps_spans, eps_ref = (
+                                _merged_with_ref(None)
+                            )
                         enc_new = ()
                     else:
+                        # encoder-reuse keeps the two-launch flow (the enc
+                        # caches are per-launch pytrees)
                         eps_a, inj_qk, inj_res, enc_a = _quad(
-                            (enc_gate, enc_carry[0]) if enc_reuse else None)
+                            (enc_gate, enc_carry[0]))
                         eps_b, _, enc_b = _spans(
-                            inj_qk, inj_res,
-                            (enc_gate, enc_carry[1]) if enc_reuse else None)
+                            inj_qk, inj_res, (enc_gate, enc_carry[1]))
                         eps_b = eps_b.astype(jnp.float32)
-                        enc_new = (enc_a, enc_b) if enc_reuse else ()
+                        enc_new = (enc_a, enc_b)
                         eps_uncond, eps_base = eps_a[0:1], eps_a[1:2]
                         eps_spans = eps_b
                         eps_ref = (eps_a[2:3]

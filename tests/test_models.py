@@ -97,6 +97,55 @@ def test_unet_self_injection_noop(tiny_unet):
     )
 
 
+def test_unet_inbatch_injection_matches_two_forward(tiny_unet):
+    """Merged-forward in-batch injection (UNetControls.inject_src/dst) must
+    reproduce the reference's two-forward flow exactly: forward A captures
+    (Q,K) of every attn1 + the inject-resnet feature of its row `src`;
+    forward B injects them into the span rows. One batched forward with
+    rows [A..., spans...] and inject_src/dst replaces both."""
+    model, params = tiny_unet
+    rng = np.random.RandomState(0)
+    xa = jnp.asarray(rng.randn(4, 8, 8, 4), jnp.float32)   # uncond,base,ru,rc
+    xb = jnp.asarray(rng.randn(2, 8, 8, 4), jnp.float32)   # span rows
+    ea = jnp.asarray(rng.randn(4, 77, 32), jnp.float32)
+    eb = jnp.asarray(rng.randn(2, 77, 32), jnp.float32)
+    t = jnp.int32(300)
+
+    # two-forward flow (capture row 3 → inject into spans)
+    capture = CaptureSpec(qk=True, resnet=frozenset({"up_blocks.1.resnets.1"}))
+    eps_a, aux = model.apply(params, xa, t, ea, capture=capture)
+    inj_qk = {n: (q[3:4], k[3:4]) for n, (q, k) in aux["self_qk"].items()}
+    inj_res = {n: f[3:4] for n, f in aux["resnet_hidden"].items()}
+    eps_b, _ = model.apply(
+        params, xb, t, eb,
+        controls=UNetControls(inject_gate=jnp.asarray(True),
+                              inject_qk=inj_qk, inject_resnet=inj_res),
+    )
+
+    # merged in-batch flow
+    xm = jnp.concatenate([xa, xb], axis=0)
+    em = jnp.concatenate([ea, eb], axis=0)
+    eps_m, _ = model.apply(
+        params, xm, t, em,
+        controls=UNetControls(inject_gate=jnp.asarray(True),
+                              inject_src=3, inject_dst=(4, 6)),
+    )
+    np.testing.assert_allclose(np.asarray(eps_m[:4]), np.asarray(eps_a),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eps_m[4:]), np.asarray(eps_b),
+                               rtol=1e-4, atol=1e-5)
+
+    # gate off → merged forward equals the plain batched forward
+    eps_plain, _ = model.apply(params, xm, t, em)
+    eps_off, _ = model.apply(
+        params, xm, t, em,
+        controls=UNetControls(inject_gate=jnp.asarray(False),
+                              inject_src=3, inject_dst=(4, 6)),
+    )
+    np.testing.assert_allclose(np.asarray(eps_off), np.asarray(eps_plain),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_unet_resnet_injection_changes_output(tiny_unet):
     model, params = tiny_unet
     x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 4))
