@@ -122,11 +122,18 @@ def _run(model_kind):
     print(f"[bench:{model_kind}] warmup (incl. compile): {time.time()-t0:.1f}s",
           file=sys.stderr)
 
-    # timed end-to-end run (all programs cached)
-    t0 = time.time()
-    run_sample(model, args, param, save=False)
-    dt = time.time() - t0
-    print(f"[bench:{model_kind}] timed e2e: {dt:.2f}s", file=sys.stderr)
+    # timed end-to-end runs (all programs cached): best of 3.  The TPU
+    # relay's per-dispatch host latency varies with host load; a single
+    # timed run has been observed ±15% on a loaded host while min-of-3 is
+    # stable (the chip-side work is deterministic).
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run_sample(model, args, param, save=False)
+        times.append(time.time() - t0)
+    dt = min(times)
+    print(f"[bench:{model_kind}] timed e2e: {dt:.2f}s "
+          f"(min of {[round(t, 2) for t in times]})", file=sys.stderr)
 
     mfu = None
     try:

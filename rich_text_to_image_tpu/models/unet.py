@@ -734,8 +734,9 @@ class UNet2DCondition(nn.Module):
         emb,  # [B, time_embed_dim] from embed_time
         encoder_hidden_states,  # [B, 77, kv_dim]
         controls: UNetControls | None = None,
-        capture: CaptureSpec = EMPTY_CAPTURE,
+        capture: CaptureSpec | None = EMPTY_CAPTURE,
     ):
+        capture = EMPTY_CAPTURE if capture is None else capture
         aux: dict = {}
         context = encoder_hidden_states.astype(self.dtype)
         x = self.conv_in(sample.astype(self.dtype))
@@ -755,8 +756,9 @@ class UNet2DCondition(nn.Module):
         emb,
         encoder_hidden_states,
         controls: UNetControls | None = None,
-        capture: CaptureSpec = EMPTY_CAPTURE,
+        capture: CaptureSpec | None = EMPTY_CAPTURE,
     ):
+        capture = EMPTY_CAPTURE if capture is None else capture
         # copy nested capture dicts too — decode's setdefault must not
         # mutate the (possibly scan-carried) encoder cache in place
         aux = {k: dict(v) if isinstance(v, dict) else v
