@@ -82,17 +82,43 @@ class MeshDecodeMixin:
             x, NamedSharding(self.mesh, P("dp"))
         )
 
-    @functools.cached_property
-    def _decode(self):
-        # params are jit ARGUMENTS (closure constants would be baked into
-        # the HLO — hundreds of MB through a remote-compile relay)
-        @jax.jit
-        def run(params, latents):
+    def _decode_imgs(self, params, latents):
+        # tensorfloat32 = bf16x3 MXU passes for the fp32 convs: measured
+        # numerically identical at uint8 image scale (max |Δ| 0.014/255 vs
+        # full fp32, scripts/bench_vae_decode.py) and ~1.3× faster at
+        # 1024². The reference's fp32-VAE policy is an fp16-OVERFLOW
+        # workaround (region_diffusion_sdxl.py:916-917); bf16x3 keeps
+        # fp32 range and ~fp32 precision, so this is not the opt-in
+        # --bf16_vae trade.
+        with jax.default_matmul_precision("tensorfloat32"):
             imgs = self.vae.apply(
                 params,
                 latents.astype(jnp.float32) / self.vae_cfg.scaling_factor,
                 method=self.vae.decode,
             )
-            return jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+        return jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+
+    @functools.cached_property
+    def _decode(self):
+        # params are jit ARGUMENTS (closure constants would be baked into
+        # the HLO — hundreds of MB through a remote-compile relay)
+        run = jax.jit(self._decode_imgs)
+        return functools.partial(run, self.vae_params)
+
+    @functools.cached_property
+    def _decode_u8(self):
+        """Decode straight to uint8 ON DEVICE.
+
+        The [B, H, W, 3] fp32 image is 12.6 MB at 1024² and the host fetch
+        rides a bandwidth-limited relay in this environment — converting to
+        uint8 device-side cuts the transfer 4× (the callers' next step was
+        ``(imgs * 255).round().astype(np.uint8)`` anyway). Kept separate
+        from ``_decode``: the VAE tiling/slicing paths blend overlapping
+        tile margins in fp32 and must not receive quantized tiles.
+        """
+        @jax.jit
+        def run(params, latents):
+            imgs = self._decode_imgs(params, latents)
+            return (imgs * 255).round().astype(jnp.uint8)
 
         return functools.partial(run, self.vae_params)

@@ -263,7 +263,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
 
             imgs = sliced_decode(self._decode, np.asarray(latents))
         else:
-            imgs = np.asarray(self._decode(latents))
+            return np.asarray(self._decode_u8(latents))
         return (imgs * 255).round().astype(np.uint8)
 
     # Reference API parity (region_diffusion_sdxl.py:150-183). The other
@@ -363,7 +363,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 jnp.float32(guidance_scale),
             )
             self.attn_aggregates = AttnAggregates(
-                self_sum=np.asarray(self_sum),
+                self_sum=self_sum,  # stays on device; fetched lazily
                 self_count=len(self_layers),
                 cross_sums={r: np.asarray(v) for (r, _), v in
                             zip(sorted(cross_by_res.items()), cross)},

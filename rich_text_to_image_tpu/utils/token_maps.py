@@ -61,7 +61,10 @@ class AttnAggregates:
         reference divides by the layer count after concatenation).
     """
 
-    self_sum: np.ndarray
+    self_sum: np.ndarray  # np or a device (jnp) array — kept wherever the
+    # plain scan produced it so the TPU segmentation solver reads it with
+    # no host round-trip (the host fetch happens lazily only where numpy
+    # math actually consumes it, e.g. the save_attn dump)
     self_count: int
     cross_sums: Mapping[int, np.ndarray]
     cross_layer_count: int
@@ -100,8 +103,9 @@ def get_token_maps(
     ``save_dir/maps/`` (attention_utils.py:257-260,292-295 — .npy instead
     of .pth).
     """
-    # ---- segmentation from self-attention affinity
-    affinity = np.asarray(agg.self_sum, dtype=np.float32)
+    # ---- segmentation from self-attention affinity (no eager host fetch:
+    # on a TPU backend the subspace solver consumes the device array as-is)
+    affinity = agg.self_sum
     res = int(round(np.sqrt(affinity.shape[0])))  # 32 for standard sizes
     assert affinity.shape == (res * res, res * res), affinity.shape
     cache_key = (seed, num_segments, n_init)
@@ -181,7 +185,8 @@ def get_token_maps(
 
         maps_dir = os.path.join(save_dir, "maps")
         os.makedirs(maps_dir, exist_ok=True)
-        np.save(os.path.join(maps_dir, "selfattn_maps.npy"), affinity)
+        np.save(os.path.join(maps_dir, "selfattn_maps.npy"),
+                np.asarray(affinity, dtype=np.float32))
         np.save(os.path.join(maps_dir, "crossattn_maps.npy"), cross)
 
     if return_segments:
