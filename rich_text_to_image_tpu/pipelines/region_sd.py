@@ -280,8 +280,10 @@ class RegionDiffusion(MeshDecodeMixin):
         agg = AttnAggregates(
             self_sum=self_sum,  # stays on device; token_maps fetches lazily
             self_count=len(self_layers),
-            cross_sums={r: np.asarray(v) for (r, _), v in
-                        zip(sorted(cross_by_res.items()), cross_sums)},
+            # one batched device_get: per-item np.asarray would pay the
+            # relay's fixed round-trip latency once per resolution
+            cross_sums=dict(zip((r for r, _ in sorted(cross_by_res.items())),
+                                jax.device_get(tuple(cross_sums)))),
             cross_layer_count=sum(len(v) for v in cross_by_res.values()),
         )
         self.attn_aggregates = agg  # parity-ish attribute (selfattn_maps etc.)

@@ -365,8 +365,11 @@ class RegionDiffusionXL(MeshDecodeMixin):
             self.attn_aggregates = AttnAggregates(
                 self_sum=self_sum,  # stays on device; fetched lazily
                 self_count=len(self_layers),
-                cross_sums={r: np.asarray(v) for (r, _), v in
-                            zip(sorted(cross_by_res.items()), cross)},
+                # one batched device_get: per-item np.asarray would pay the
+                # relay's fixed round-trip latency once per resolution
+                cross_sums=dict(zip(
+                    (r for r, _ in sorted(cross_by_res.items())),
+                    jax.device_get(tuple(cross)))),
                 cross_layer_count=sum(len(v) for v in cross_by_res.values()),
             )
             return self.decode_latents(lat)

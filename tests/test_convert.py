@@ -77,6 +77,7 @@ def test_clip_text_vs_transformers_full():
     )
 
 
+@pytest.mark.slow  # transformers oracle — full-suite lane
 def test_clip_projection_vs_transformers():
     import transformers
 

@@ -97,6 +97,8 @@ def test_unet_self_injection_noop(tiny_unet):
     )
 
 
+@pytest.mark.slow  # ~2 min: the fused-batch injection path is also pinned
+# by the torch oracles and the mesh parity tests
 def test_unet_inbatch_injection_matches_two_forward(tiny_unet):
     """Merged-forward in-batch injection (UNetControls.inject_src/dst) must
     reproduce the reference's two-forward flow exactly: forward A captures
@@ -284,6 +286,7 @@ def test_clip_causal():
     assert np.abs(np.asarray(o1[0, 3]) - np.asarray(o2[0, 3])).max() > 1e-4
 
 
+@pytest.mark.slow  # ~4 min differential remat parity — full-suite lane
 def test_vae_decoder_remat_blocks_parity():
     """remat_blocks must not change the param tree, outputs, or gradients —
     only the VJP's memory schedule (models/vae.py Decoder.remat_blocks)."""

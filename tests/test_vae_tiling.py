@@ -97,6 +97,8 @@ def test_sliced_decode_matches_batched():
         sliced_decode(local_decode, z), local_decode(z), rtol=1e-6)
 
 
+@pytest.mark.slow  # ~1.5 min pipeline construction — tiling numerics are
+# covered by the fast differential tests above
 def test_pipeline_toggle_api():
     """enable/disable methods exist and route decode_latents (tiny model)."""
     from rich_text_to_image_tpu.models import config as cfg
