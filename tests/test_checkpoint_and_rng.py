@@ -8,6 +8,7 @@ import jax
 from rich_text_to_image_tpu.models import config as cfg
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     pytest.importorskip("orbax.checkpoint")
     from rich_text_to_image_tpu.models.checkpoint import (

@@ -45,6 +45,7 @@ def test_kmeans_separates_blobs():
     assert _rand_index(labels, want) == 1.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("method", ["eigh", "subspace"])
 def test_spectral_matches_sklearn_blocks(method):
     sklearn = pytest.importorskip("sklearn")
@@ -87,6 +88,7 @@ def test_spectral_attentionlike_affinity(method):
     assert ri > 0.98, f"rand index {ri}"
 
 
+@pytest.mark.slow
 def test_spectral_subspace_equals_eigh_on_big_affinity():
     """1024²-scale affinity (the real segmentation size): the subspace
     solver must reproduce the dense-eigh labels up to permutation."""
