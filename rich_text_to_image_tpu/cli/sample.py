@@ -162,6 +162,8 @@ def run_sample(model, args, param, save=True):
            if args.encoder_reuse > 1 else {}),
         **({"bf16_guidance": True}
            if getattr(args, "bf16_guidance", False) else {}),
+        **({"guidance_downsample": args.guidance_downsample}
+           if getattr(args, "guidance_downsample", 1) > 1 else {}),
     )
     if save:
         _imwrite(os.path.join(run_dir, f"seed{seed}_rich.jpg"), rich_img[0])
@@ -225,6 +227,12 @@ def make_parser():
         "--bf16_guidance", action="store_true",
         help="run the color-guidance VAE decode + gradient in bfloat16 "
              "(fp32 range, ~3x cheaper); default keeps fp32 math",
+    )
+    parser.add_argument(
+        "--guidance_downsample", type=int, default=1,
+        help="compute the color-guidance gradient at 1/d resolution "
+             "(pool the x0 latent before the VAE decode, ~d^2 cheaper); "
+             "1 = exact reference math",
     )
     parser.add_argument(
         "--encoder_reuse", type=int, default=1,

@@ -55,6 +55,10 @@ def make_parser():
                         "scan, sharing the reference-trajectory rows "
                         "(RegionDiffusion.color_bench_batch). 1 = the "
                         "reference's sequential loop")
+    p.add_argument("--guidance_downsample", type=int, default=1,
+                   help="opt-in: compute the color-guidance gradient at "
+                        "1/d resolution (pool the x0 latent before the VAE "
+                        "decode; ~d^2 cheaper). 1 = exact reference math")
     p.add_argument("--bf16_guidance", action="store_true",
                    help="bfloat16 color-guidance VAE gradient (~3x cheaper; "
                         "fp32-range). Default keeps the reference's fp32")
@@ -140,6 +144,7 @@ def run(args, model=None):
                             "color_guidance_weight"],
                         guidance_start_step=fmt_base["guidance_start_step"],
                         bf16_guidance=args.bf16_guidance,
+                        guidance_downsample=args.guidance_downsample,
                     )
                     for (cname, _), img in zip(chunk, imgs):
                         pre_imgs[cname] = img[None]
@@ -172,6 +177,7 @@ def run(args, model=None):
                         text_format_dict=fmt, use_guidance=True,
                         inject_selfattn=0.2, inject_background=0.3,
                         seed=seed, bf16_guidance=args.bf16_guidance,
+                        guidance_downsample=args.guidance_downsample,
                     )
                 mn, av = color_distances(
                     img_base[0], region_mask_px, rgb, color_name)

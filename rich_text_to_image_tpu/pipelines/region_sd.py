@@ -76,6 +76,13 @@ class RichControlSpec:
     # guided step (~58% of the color-bench item on v5e) — bf16 cuts it
     # ~3×. Default keeps the reference's fp32 math.
     bf16_guidance: bool = False
+    # Opt-in: compute the color-guidance gradient at reduced resolution —
+    # average-pool the x0 latent by this factor before the VAE decode and
+    # pool the pixel masks to match. The masked-mean RGB (the only thing
+    # the loss reads, region_diffusion.py:151-168) is nearly scale-
+    # invariant, while the decode fwd+bwd cost drops ~d². 1 = exact
+    # reference math (default). Composes with bf16_guidance.
+    guidance_downsample: int = 1
 
 
 class RegionDiffusion(MeshDecodeMixin):
@@ -501,6 +508,7 @@ class RegionDiffusion(MeshDecodeMixin):
         encoder_reuse: int = 1,
         encoder_schedule: str = "early",
         bf16_guidance: bool = False,
+        guidance_downsample: int = 1,
     ) -> np.ndarray:
         """Rich region-based sampling (reference region_diffusion.py:248-273).
 
@@ -521,6 +529,7 @@ class RegionDiffusion(MeshDecodeMixin):
             encoder_reuse=int(encoder_reuse),
             encoder_schedule=encoder_schedule,
             bf16_guidance=bool(bf16_guidance),
+            guidance_downsample=int(guidance_downsample),
         )
         lat = self.produce_latents(
             embeds,
@@ -614,9 +623,12 @@ class RegionDiffusion(MeshDecodeMixin):
         stride = max(int(spec.encoder_reuse), 1)
         enc_gates = encoder_key_gates(S, stride, spec.encoder_schedule)
 
+        gds = max(int(spec.guidance_downsample), 1) if use_grad else 1
+        if h % gds or w % gds or height % gds or width % gds:
+            gds = 1  # non-divisible shapes: fall back to the exact path
         fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
                            tw is not None, stride > 1,
-                           use_grad and spec.bf16_guidance)
+                           use_grad and spec.bf16_guidance, gds)
         lat = fn(
             self.unet_params,
             self.vae_params,
@@ -642,9 +654,10 @@ class RegionDiffusion(MeshDecodeMixin):
         return lat
 
     def _rich_fn(self, latent_hw, num_steps, n_styles, run_reference,
-                 use_grad, use_tw, enc_reuse=False, bf16_guidance=False):
+                 use_grad, use_tw, enc_reuse=False, bf16_guidance=False,
+                 guidance_ds=1):
         key = ("rich", latent_hw, num_steps, n_styles, run_reference,
-               use_grad, use_tw, enc_reuse, bf16_guidance)
+               use_grad, use_tw, enc_reuse, bf16_guidance, guidance_ds)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
@@ -840,6 +853,12 @@ class RegionDiffusion(MeshDecodeMixin):
                     def color_loss(l):
                         a = ctl["alpha_raw"][i]
                         x0 = (l - noise * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+                        if guidance_ds > 1:
+                            d = guidance_ds
+                            _, hh, ww, c = x0.shape
+                            x0 = x0.reshape(
+                                1, hh // d, d, ww // d, d, c
+                            ).mean((2, 4))
                         imgs = decode(
                             vae_params,
                             x0.astype(jnp.float32) / vae_cfg.scaling_factor,
@@ -847,6 +866,12 @@ class RegionDiffusion(MeshDecodeMixin):
                         imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
                         # imgs [1,H,W,3]; masks [n,H,W]
                         m = ctl["color_masks_px"]
+                        if guidance_ds > 1:
+                            d = guidance_ds
+                            n, hp, wp = m.shape
+                            m = m.reshape(
+                                n, hp // d, d, wp // d, d
+                            ).mean((2, 4))
                         num = jnp.einsum("bhwc,nhw->nc", imgs, m)
                         den = m.sum(axis=(1, 2))[:, None] + 1e-12
                         avg_rgb = num / den
@@ -915,6 +940,7 @@ class RegionDiffusion(MeshDecodeMixin):
         color_guidance_weight: float = 1.0,
         guidance_start_step: int = 999,
         bf16_guidance: bool = False,
+        guidance_downsample: int = 1,
     ) -> np.ndarray:
         """K color-benchmark items in ONE scan (TPU-native batch-DP).
 
@@ -970,8 +996,11 @@ class RegionDiffusion(MeshDecodeMixin):
             np.stack([np.asarray(m).reshape(h, w) for m in self.masks])
         )[..., None]  # [2, h, w, 1]
 
+        gds = max(int(guidance_downsample), 1)
+        if h % gds or w % gds or height % gds or width % gds:
+            gds = 1  # non-divisible shapes: fall back to the exact path
         fn = self._colorbatch_fn((h, w), S, K, bf16_guidance,
-                                 ref_skip=ref_skip)
+                                 ref_skip=ref_skip, guidance_ds=gds)
         lat = fn(
             self.unet_params, self.vae_params, lat0, ref0, embeds, masks,
             _plan_arrays(plan),
@@ -995,8 +1024,9 @@ class RegionDiffusion(MeshDecodeMixin):
         return self.decode_latents(lat)
 
     def _colorbatch_fn(self, latent_hw, num_steps, K, bf16_guidance=False,
-                       ref_skip=False):
-        key = ("colorbatch", latent_hw, num_steps, K, bf16_guidance, ref_skip)
+                       ref_skip=False, guidance_ds=1):
+        key = ("colorbatch", latent_hw, num_steps, K, bf16_guidance, ref_skip,
+               guidance_ds)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
@@ -1108,12 +1138,22 @@ class RegionDiffusion(MeshDecodeMixin):
                     def loss1(x):
                         a = ctl["alpha_raw"][i]
                         x0 = (x[None] - n1[None] * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+                        if guidance_ds > 1:
+                            d = guidance_ds
+                            _, hh, ww, c = x0.shape
+                            x0 = x0.reshape(
+                                1, hh // d, d, ww // d, d, c
+                            ).mean((2, 4))
                         imgs = decode(
                             vae_params,
                             x0.astype(jnp.float32) / vae_cfg.scaling_factor,
                         )
                         imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
                         m = ctl["color_mask_px"]  # [H, W]
+                        if guidance_ds > 1:
+                            d = guidance_ds
+                            hp, wp = m.shape
+                            m = m.reshape(hp // d, d, wp // d, d).mean((1, 3))
                         avg_rgb = jnp.einsum("bhwc,hw->c", imgs, m) / (
                             m.sum() + 1e-12
                         )

@@ -321,6 +321,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
         encoder_reuse: int = 1,
         encoder_schedule: str = "early",
         bf16_guidance: bool = False,
+        guidance_downsample: int = 1,
     ):
         """Reference single-entry sample() (region_diffusion_sdxl.py:555):
         plain branch when run_rich_text=False, rich branch otherwise."""
@@ -388,6 +389,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 encoder_reuse=int(encoder_reuse),
                 encoder_schedule=encoder_schedule,
                 bf16_guidance=bool(bf16_guidance),
+                guidance_downsample=int(guidance_downsample),
             ),
             dict(text_format_dict or {}), latents, (height, width),
         )
@@ -409,7 +411,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
                       latents=None, text_format_dict=None, use_guidance=False,
                       inject_selfattn=0.0, inject_background=0.0, seed=0,
                       encoder_reuse=1, encoder_schedule="early",
-                      bf16_guidance=False):
+                      bf16_guidance=False, guidance_downsample=1):
         return self.sample(
             prompts, negative_prompts, height=height, width=width,
             num_inference_steps=num_inference_steps,
@@ -419,6 +421,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
             text_format_dict=text_format_dict, latents=latents, seed=seed,
             encoder_reuse=encoder_reuse, encoder_schedule=encoder_schedule,
             bf16_guidance=bf16_guidance,
+            guidance_downsample=guidance_downsample,
         )
 
     # ------------------------------------------------------------ plain fn
@@ -575,10 +578,13 @@ class RegionDiffusionXL(MeshDecodeMixin):
             run_reference and stride == 1 and not ref_step_gates.all()
         )
 
+        gds = max(int(spec.guidance_downsample), 1) if use_grad else 1
+        if h % gds or w % gds or height % gds or width % gds:
+            gds = 1  # non-divisible shapes: fall back to the exact path
         fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
                            use_tw, stride > 1,
                            use_grad and spec.bf16_guidance,
-                           ref_skip=ref_skip)
+                           ref_skip=ref_skip, guidance_ds=gds)
         lat = fn(
             self.unet_params, self.vae_params, latents, embeds, pooled,
             time_ids, masks, _plan_arrays(plan),
@@ -604,9 +610,10 @@ class RegionDiffusionXL(MeshDecodeMixin):
 
     def _rich_fn(self, latent_hw, num_steps, n_styles, run_reference,
                  use_grad, use_tw, enc_reuse=False, bf16_guidance=False,
-                 ref_skip=False):
+                 ref_skip=False, guidance_ds=1):
         key = ("rich", latent_hw, num_steps, n_styles, run_reference,
-               use_grad, use_tw, enc_reuse, bf16_guidance, ref_skip)
+               use_grad, use_tw, enc_reuse, bf16_guidance, ref_skip,
+               guidance_ds)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
@@ -879,12 +886,24 @@ class RegionDiffusionXL(MeshDecodeMixin):
                     def color_loss(l):
                         a = ctl["alpha_raw"][i]
                         x0 = (l - noise * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+                        if guidance_ds > 1:
+                            d = guidance_ds
+                            _, hh, ww, c = x0.shape
+                            x0 = x0.reshape(
+                                1, hh // d, d, ww // d, d, c
+                            ).mean((2, 4))
                         imgs = decode(
                             vae_params,
                             x0.astype(jnp.float32) / vae_cfg.scaling_factor,
                         )
                         imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
                         m = ctl["color_masks_px"]
+                        if guidance_ds > 1:
+                            d = guidance_ds
+                            n, hp, wp = m.shape
+                            m = m.reshape(
+                                n, hp // d, d, wp // d, d
+                            ).mean((2, 4))
                         num = jnp.einsum("bhwc,nhw->nc", imgs, m)
                         den = m.sum(axis=(1, 2))[:, None] + 1e-12
                         per = jnp.mean(

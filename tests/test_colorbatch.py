@@ -189,3 +189,61 @@ def test_colorbatch_under_mesh():
     out_mesh = mesh_pipe.color_bench_batch(*args, latents=jnp.asarray(latent))
     diff = np.abs(out_mesh.astype(np.int32) - out_ref.astype(np.int32))
     assert diff.max() <= 2 and np.mean(diff) < 0.1
+
+
+def test_guidance_downsample_runs_and_guides(pipe):
+    """--guidance_downsample d (opt-in): the pooled-latent guidance must
+    (a) actually steer (output differs from color_w=0), (b) stay finite,
+    (c) fall back to the exact path when the latent isn't divisible by d
+    (d=3 on an 8x8 latent == d=1 bit-for-bit)."""
+    import jax
+    import jax.numpy as jnp
+
+    lat = pipe.unet_cfg.sample_size
+    px = lat * 2 ** (len(pipe.vae_cfg.block_out_channels) - 1)
+    rng = np.random.RandomState(3)
+    soft = rng.rand(2, lat, lat).astype(np.float32)
+    soft /= soft.sum(0, keepdims=True)
+    pipe.masks = [soft[0][None], soft[1][None]]
+    region_mask_px = np.asarray(
+        resize_bicubic(soft[0][None], (px, px))
+    ).clip(0, 1)[0]
+    latent = jax.random.normal(jax.random.PRNGKey(7), (1, lat, lat, 4))
+    rgbs = np.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], np.float32)
+    prompts = ["red car", "blue car"]
+    base = "a photo of a car"
+
+    def batch(**kw):
+        return pipe.color_bench_batch(
+            prompts, base, rgbs, region_mask_px, px, px, STEPS, 8.5,
+            seed=2, latents=jnp.asarray(latent), **kw,
+        )
+
+    img_ds = batch(guidance_downsample=2)
+    img_off = batch(color_guidance_weight=0.0, guidance_downsample=2)
+    assert np.isfinite(img_ds.astype(np.float64)).all()
+    assert np.abs(
+        img_ds.astype(np.int32) - img_off.astype(np.int32)
+    ).max() > 0, "downsampled guidance had no effect"
+
+    fmt = {
+        "guidance_start_step": 999,
+        "color_guidance_weight": 1,
+        "target_RGB": [rgbs[0]],
+        "color_obj_atten": [region_mask_px[None]],
+        "color_obj_atten_all": np.asarray(pipe.masks[0]),
+    }
+
+    def seq(gds):
+        return pipe.prompt_to_img(
+            [prompts[0], base], [""], height=px, width=px,
+            num_inference_steps=STEPS, guidance_scale=8.5,
+            latents=jnp.asarray(latent), text_format_dict=fmt,
+            use_guidance=True, inject_selfattn=0.2, inject_background=0.3,
+            seed=2, guidance_downsample=gds,
+        )
+
+    img_seq_ds = seq(2)
+    assert np.isfinite(img_seq_ds.astype(np.float64)).all()
+    # d=3 doesn't divide the 8x8 latent -> exact-path fallback == d=1
+    np.testing.assert_array_equal(seq(3), seq(1))

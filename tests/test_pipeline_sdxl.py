@@ -90,3 +90,38 @@ def test_euler_init_noise_scaling(pipe):
     """Initial latents are scaled by init_noise_sigma (SDXL prepare_latents)."""
     plan = pipe.scheduler.plan(STEPS)
     assert 14.0 < plan.init_noise_sigma < 15.0  # SD-schedule sigma_max ≈ 14.6
+
+
+@pytest.mark.slow  # extra rich-scan compile (~1-2 min on CPU)
+def test_rich_guidance_downsample(pipe):
+    """Opt-in pooled-latent color guidance on XL: runs, finite, steers."""
+    px = _px(pipe)
+    lat = pipe.unet_cfg.sample_size
+    pipe.masks = [
+        np.full((1, lat, lat), 0.6, np.float32),
+        np.full((1, lat, lat), 0.4, np.float32),
+    ]
+    fmt = {
+        "target_RGB": [np.asarray([1.0, 0.0, 0.0])],
+        "guidance_start_step": 999,
+        "color_guidance_weight": 0.5,
+        "color_obj_atten": [np.full((1, px, px), 0.5, np.float32)],
+        "color_obj_atten_all": np.full((1, lat, lat), 0.5, np.float32),
+    }
+
+    def run(w):
+        f = dict(fmt, color_guidance_weight=w)
+        return pipe.sample(
+            ["red rose", "a garden with a red rose"], "",
+            height=px, width=px, num_inference_steps=STEPS,
+            guidance_scale=5.0, run_rich_text=True, use_guidance=True,
+            text_format_dict=f, seed=4, guidance_downsample=2,
+        )
+
+    img = run(0.5)
+    assert img.shape == (1, px, px, 3)
+    assert np.isfinite(img.astype(np.float64)).all()
+    img_off = run(0.0)
+    assert np.abs(
+        img.astype(np.int32) - img_off.astype(np.int32)
+    ).max() > 0, "downsampled guidance had no effect"
