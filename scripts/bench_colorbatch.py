@@ -50,11 +50,11 @@ def main(steps=41):
                 inject_selfattn=0.2, inject_background=0.3, seed=1,
             )
 
-    def batched(k, bf16=False):
+    def batched(k, bf16=False, gds=1):
         model.color_bench_batch(
             [f"{names[i]} car" for i in range(k)], base, rgbs[:k],
             region_mask_px, px, px, steps, 8.5, seed=1, latents=latent,
-            bf16_guidance=bf16,
+            bf16_guidance=bf16, guidance_downsample=gds,
         )
 
     seq(1)  # compile
@@ -76,6 +76,16 @@ def main(steps=41):
             "mode": f"batched_k{k}_bf16grad", "steps": steps,
             "s_per_item": round(dt / k, 2),
             "speedup_vs_sequential": round(seq_s / (dt / k), 2),
+        }), flush=True)
+    # opt-in reduced-resolution guidance gradient (--guidance_downsample)
+    for bf16 in (False, True):
+        batched(8, bf16=bf16, gds=2)  # compile
+        t0 = time.time(); batched(8, bf16=bf16, gds=2)
+        dt = time.time() - t0
+        print(json.dumps({
+            "mode": "batched_k8_gds2" + ("_bf16grad" if bf16 else ""),
+            "steps": steps, "s_per_item": round(dt / 8, 2),
+            "speedup_vs_sequential": round(seq_s / (dt / 8), 2),
         }), flush=True)
 
 
