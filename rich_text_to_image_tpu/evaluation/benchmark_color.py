@@ -221,6 +221,12 @@ def run(args, model=None):
 
     summary = {k: {"mean": s.mean, "std": s.std, "n": len(s)}
                for k, s in stats.items()}
+    # record the knob settings so eval-gate comparisons (e.g. exact vs
+    # --guidance_downsample) stay attributable to their config
+    summary["config"] = {
+        k: v for k, v in sorted(vars(args).items())
+        if isinstance(v, (bool, int, float, str, type(None)))
+    }
     with open(os.path.join(args.save_path, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary

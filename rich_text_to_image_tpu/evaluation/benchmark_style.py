@@ -228,6 +228,10 @@ def run(args, model=None, scorer=None):
         # stamped so a saved smoke run can never be mistaken for results
         "clip_scores_random_weights": scorer_is_random,
     }
+    summary["config"] = {
+        k: v for k, v in sorted(vars(args).items())
+        if isinstance(v, (bool, int, float, str, type(None)))
+    }
     with open(os.path.join(args.save_path, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary
