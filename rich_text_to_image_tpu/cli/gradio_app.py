@@ -60,7 +60,8 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
 
     def generate(text_input, negative_prompt, seed, steps, guidance_weight,
                  color_guidance_weight, inject_selfattn, inject_background,
-                 segment_threshold, num_segments, encoder_reuse=1):
+                 segment_threshold, num_segments, encoder_reuse=1,
+                 guidance_downsample=1):
         if not text_input:
             raise gr.Error("empty rich-text input")
         try:
@@ -116,6 +117,8 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
             text_format_dict=fmt, seed=int(seed),
             **({"encoder_reuse": int(encoder_reuse)}
                if int(encoder_reuse) > 1 else {}),
+            **({"guidance_downsample": int(guidance_downsample)}
+               if int(guidance_downsample) > 1 else {}),
         )
         return [plain[0], rich[0], seg_vis, tok_vis]
 
@@ -154,6 +157,11 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
                 info="1 = exact; N>1 recomputes the UNet encoder every Nth "
                      "step (Faster Diffusion) — faster, approximate",
             )
+            guid_ds = gr.Slider(
+                1, 4, value=1, step=1, label="guidance downsample",
+                info="1 = exact; d>1 computes the color-guidance gradient "
+                     "at 1/d resolution — faster, approximate",
+            )
         btn = gr.Button("Generate")
         with gr.Row(elem_id="outputs"):
             outs = [gr.Image(label=n) for n in
@@ -162,9 +170,10 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
         share.click(None, [], [], js=COMMUNITY_JS)
         inputs = [text_input, negative, seed, steps, guidance, colorw,
                   inj_s, inj_b, seg_t, num_seg]
-        # turbo rides only the live button — example banks keep the exact
-        # 10-column reference knob set (generate defaults encoder_reuse=1)
-        btn.click(generate, inputs=inputs + [turbo], outputs=outs,
+        # turbo + guidance-downsample ride only the live button — example
+        # banks keep the exact 10-column reference knob set (generate
+        # defaults both to 1)
+        btn.click(generate, inputs=inputs + [turbo, guid_ds], outputs=outs,
                   js=GET_JS_DATA)
         # example banks (cached as golden demos when real weights exist,
         # reference gradio_app.py:264-508 cache_examples=True)

@@ -124,8 +124,8 @@ def test_build_app_constructs_and_wires(stub_gradio, tiny_model):
     # generate button wired with the iframe JS bridge
     gen = next(b for b in _components(gr, "Button") if b.args == ("Generate",))
     assert gen.clicks and gen.clicks[0]["js"] == GET_JS_DATA
-    # the 10 reference knobs + the turbo (encoder reuse) slider
-    assert len(gen.clicks[0]["inputs"]) == 11
+    # the 10 reference knobs + turbo (encoder reuse) + guidance downsample
+    assert len(gen.clicks[0]["inputs"]) == 12
 
 
 def test_build_app_sdxl_threshold_delta(stub_gradio):
