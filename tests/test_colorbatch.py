@@ -247,3 +247,6 @@ def test_guidance_downsample_runs_and_guides(pipe):
     assert np.isfinite(img_seq_ds.astype(np.float64)).all()
     # d=3 doesn't divide the 8x8 latent -> exact-path fallback == d=1
     np.testing.assert_array_equal(seq(3), seq(1))
+    # composes with the bf16 guidance decode
+    img_both = batch(guidance_downsample=2, bf16_guidance=True)
+    assert np.isfinite(img_both.astype(np.float64)).all()
