@@ -25,11 +25,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis_names=("dp", "tp"),
-              tp: int | None = None) -> Mesh:
-    """Build a (dp, tp) mesh over the available devices.
+              tp: int | None = None, dcn: int | None = None) -> Mesh:
+    """Build a (dp, tp) — or (dcn, dp, tp) — mesh over the available devices.
 
     ``tp`` defaults to the largest power of two ≤ 4 dividing the device
     count (v5e-4: tp=4 on one host; tp=1 falls back to pure DP).
+
+    ``dcn > 1`` adds an OUTERMOST data-parallel axis for multi-host
+    deployments: params replicate across it (param_spec never shards on
+    dcn) and only the embarrassingly-parallel batch axis (benchmark work
+    items, text_to_images requests) crosses it, so the sole inter-host
+    traffic is the initial param broadcast — no per-step collective rides
+    DCN. On real multi-host topologies build the device array with
+    ``mesh_utils.create_hybrid_device_mesh((dp, tp), (dcn, 1), ...)`` so
+    the dcn axis lands on host boundaries; single-process (tests, the
+    virtual CPU platform) falls back to a contiguous split, which is
+    collective-equivalent.
     """
     devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)
@@ -39,6 +50,16 @@ def make_mesh(n_devices: int | None = None, axis_names=("dp", "tp"),
             if n % cand == 0:
                 tp = cand
                 break
+    if dcn and dcn > 1:
+        assert n % (dcn * tp) == 0, (n, dcn, tp)
+        shape = (dcn, n // (dcn * tp), tp)
+        names = ("dcn",) + tuple(axis_names)
+        try:  # real multi-host: put dcn on the host boundary
+            arr = mesh_utils.create_hybrid_device_mesh(
+                shape[1:], (dcn, 1), devices=devices)
+        except Exception:  # single-process fallback (CPU mesh, tests)
+            arr = mesh_utils.create_device_mesh(shape, devices=devices)
+        return Mesh(arr.reshape(shape), names)
     dp = n // tp
     arr = mesh_utils.create_device_mesh((dp, tp), devices=devices)
     return Mesh(arr, axis_names)
@@ -62,4 +83,7 @@ def shard_params(params, mesh: Mesh, tp_axis: str = "tp"):
 
 
 def batch_spec(mesh: Mesh, dp_axis: str = "dp") -> P:
+    """Batch axis spec: ("dcn", dp) on a multi-host mesh, else (dp,)."""
+    if "dcn" in mesh.axis_names:
+        return P(("dcn", dp_axis))
     return P(dp_axis)

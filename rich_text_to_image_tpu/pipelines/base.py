@@ -73,13 +73,15 @@ class MeshDecodeMixin:
         return self
 
     def _constrain_batch(self, x):
-        """Shard a batched UNet input over dp when a mesh is active."""
+        """Shard a batched UNet input over (dcn,)dp when a mesh is active."""
         if self.mesh is None:
             return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import NamedSharding
+
+        from ..parallel.mesh import batch_spec
 
         return jax.lax.with_sharding_constraint(
-            x, NamedSharding(self.mesh, P("dp"))
+            x, NamedSharding(self.mesh, batch_spec(self.mesh))
         )
 
     def _decode_imgs(self, params, latents):
