@@ -240,6 +240,67 @@ def convert_clip_vision(source, target_tree, dtype=jnp.float32):
     return _unflatten(out)
 
 
+# ----------------------------------------------------------------- UNet LoRA
+_LORA_PROJ = {"to_q": "to_q_lora", "to_k": "to_k_lora",
+              "to_v": "to_v_lora", "to_out": "to_out_lora"}
+
+
+def apply_lora_unet(unet_params, lora_sd: Mapping[str, np.ndarray],
+                    scale: float = 1.0):
+    """Merge a diffusers-format UNet LoRA state dict into converted params.
+
+    Reference semantics (models/attention_processor.py:548-576): every
+    attention projection computes ``proj(x) + scale * up(down(x))`` with
+    rank-r ``down``/``up`` linears, stored under
+    ``<attn module>.processor.<proj>_lora.{down,up}.weight`` (diffusers
+    0.18 attn-procs layout; a leading ``unet.`` prefix is tolerated).
+    On TPU the low-rank pair is merged into the projection weight at load
+    time — ``W' = W + scale · up @ down`` — which is mathematically
+    identical for inference and keeps the hot attention path free of extra
+    matmuls (the reference pays two additional GEMMs per projection per
+    call). Returns a NEW params pytree; raises if any LoRA tensor found no
+    matching projection (catches key-mapping drift).
+    """
+    lora_sd = {k.removeprefix("unet."): np.asarray(v)
+               for k, v in lora_sd.items()}
+    flat = _flatten(unet_params)
+    used: set[str] = set()
+    out = {}
+    n_merged = 0
+    for path, leaf in flat.items():
+        out[path] = leaf
+        if path[-1] != "kernel" or len(path) < 2:
+            continue
+        proj = path[-2]
+        if proj not in _LORA_PROJ:
+            continue
+        base = _unet_rule(path)  # "<module>.to_q.weight" / ".to_out.0.weight"
+        mod = base.rsplit(f".{proj}.", 1)[0]
+        down_k = f"{mod}.processor.{_LORA_PROJ[proj]}.down.weight"
+        up_k = f"{mod}.processor.{_LORA_PROJ[proj]}.up.weight"
+        if down_k not in lora_sd and up_k not in lora_sd:
+            continue
+        down = lora_sd[down_k]  # [r, in]  (torch [out,in] convention)
+        up = lora_sd[up_k]      # [out, r]
+        used.update((down_k, up_k))
+        delta = (up @ down).T  # → flax dense kernel layout [in, out]
+        if delta.shape != leaf.shape:
+            raise ValueError(
+                f"LoRA shape mismatch at {path}: delta {delta.shape} vs "
+                f"kernel {leaf.shape} (source {down_k})")
+        out[path] = (leaf + jnp.asarray(scale * delta, leaf.dtype)
+                     ).astype(leaf.dtype)
+        n_merged += 1
+    unused = sorted(k for k in lora_sd if k not in used)
+    if unused:
+        raise ValueError(
+            f"LoRA: {len(unused)} tensors matched no UNet projection "
+            f"(key-mapping drift?): {unused[:6]}...")
+    if n_merged == 0:
+        raise ValueError("LoRA: state dict contained no LoRA tensors")
+    return _unflatten(out)
+
+
 # ------------------------------------------------------------- file loading
 def load_safetensors_dir(path: str) -> dict[str, np.ndarray]:
     """Load every *.safetensors under ``path`` into one numpy state dict."""
