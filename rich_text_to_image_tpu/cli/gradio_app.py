@@ -25,6 +25,86 @@ async (text_input) => {
 """
 
 
+def run_generate(model, resolution, text_input, negative_prompt, seed, steps,
+                 guidance_weight, color_guidance_weight, inject_selfattn,
+                 inject_background, segment_threshold, num_segments,
+                 encoder_reuse=1, guidance_downsample=1,
+                 error_cls=ValueError, vis_dir="/tmp/gradio_vis"):
+    """The demo's full request contract as a pure function (testable without
+    gradio/browser): rich-text JSON string → [plain image, rich image,
+    segmentation PNG path, token-map PNG path]. ``build_app``'s click
+    callback is a thin wrapper that maps ``error_cls`` to ``gr.Error``.
+
+    Mirrors reference gradio_app.py:66-156 (same step order, token maps at
+    the demo's fixed resolution, color masks for guidance computed before
+    region masks).
+    """
+    from ..ops.resize import resize_bicubic
+    from ..utils import richtext
+    from ..utils.token_maps import get_token_maps
+    from ..utils.viz import plot_attention_maps, save_segmentation
+
+    if not text_input:
+        raise error_cls("empty rich-text input")
+    try:
+        doc = json.loads(text_input)
+    except json.JSONDecodeError as e:
+        raise error_cls(f"invalid rich-text JSON: {e}") from e
+    parsed = richtext.parse_json(doc)
+    tok = model.tokenizer._tokenize
+    region_prompts, region_ids, base_tokens = (
+        richtext.get_region_diffusion_input(tok, parsed)
+    )
+    fmt = richtext.get_attention_control_input(tok, base_tokens, parsed)
+    fmt, color_ids = richtext.get_gradient_guidance_input(
+        tok, base_tokens, parsed, fmt,
+        color_guidance_weight=color_guidance_weight,
+    )
+    h = w = resolution
+    f = model.vae_scale_factor
+    plain, agg = model.produce_attn_maps(
+        [parsed.base_text_prompt], [negative_prompt],
+        height=h, width=w, num_inference_steps=int(steps),
+        guidance_scale=guidance_weight, seed=int(seed),
+    )
+    color_masks = get_token_maps(
+        agg, color_ids[:-1], (h // f, w // f), int(seed),
+        segment_threshold=segment_threshold,
+        num_segments=int(num_segments),
+    )
+    fmt["color_obj_atten"] = [
+        np.asarray(resize_bicubic(np.asarray(m), (h, w)))
+        for m in color_masks[:-1]
+    ]
+    fmt["color_obj_atten_all"] = sum(
+        np.asarray(m) for m in color_masks[:-1]
+    ) if len(color_masks) > 1 else np.zeros_like(np.asarray(color_masks[0]))
+    masks, clusters = get_token_maps(
+        agg, region_ids[:-1], (h // f, w // f), int(seed),
+        segment_threshold=segment_threshold,
+        num_segments=int(num_segments), return_segments=True,
+    )
+    model.masks = masks
+    seg_vis = save_segmentation(clusters, vis_dir,
+                                int(num_segments), int(seed))
+    tok_vis = plot_attention_maps([masks], region_ids[:-1],
+                                  vis_dir, int(seed),
+                                  tokens_vis=base_tokens)
+    rich = model.prompt_to_img(
+        region_prompts, [negative_prompt], height=h, width=w,
+        num_inference_steps=int(steps), guidance_scale=guidance_weight,
+        use_guidance=parsed.use_grad_guidance,
+        inject_selfattn=inject_selfattn,
+        inject_background=inject_background,
+        text_format_dict=fmt, seed=int(seed),
+        **({"encoder_reuse": int(encoder_reuse)}
+           if int(encoder_reuse) > 1 else {}),
+        **({"guidance_downsample": int(guidance_downsample)}
+           if int(guidance_downsample) > 1 else {}),
+    )
+    return [plain[0], rich[0], seg_vis, tok_vis]
+
+
 def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
               random_weights: bool = False, model=None,
               resolution: int | None = None):
@@ -38,10 +118,6 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
             "shipped for deployments that have it (pip install gradio)."
         ) from e
 
-    from ..utils.token_maps import get_token_maps
-    from ..utils.viz import plot_attention_maps, save_segmentation
-    from ..utils import richtext
-    from ..ops.resize import resize_bicubic
     from .sample import build_model
 
     from .examples import APP_DEFAULTS, example_rows
@@ -62,65 +138,12 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
                  color_guidance_weight, inject_selfattn, inject_background,
                  segment_threshold, num_segments, encoder_reuse=1,
                  guidance_downsample=1):
-        if not text_input:
-            raise gr.Error("empty rich-text input")
-        try:
-            doc = json.loads(text_input)
-        except json.JSONDecodeError as e:
-            raise gr.Error(f"invalid rich-text JSON: {e}") from e
-        parsed = richtext.parse_json(doc)
-        tok = model.tokenizer._tokenize
-        region_prompts, region_ids, base_tokens = (
-            richtext.get_region_diffusion_input(tok, parsed)
+        return run_generate(
+            model, default_res, text_input, negative_prompt, seed, steps,
+            guidance_weight, color_guidance_weight, inject_selfattn,
+            inject_background, segment_threshold, num_segments,
+            encoder_reuse, guidance_downsample, error_cls=gr.Error,
         )
-        fmt = richtext.get_attention_control_input(tok, base_tokens, parsed)
-        fmt, color_ids = richtext.get_gradient_guidance_input(
-            tok, base_tokens, parsed, fmt,
-            color_guidance_weight=color_guidance_weight,
-        )
-        h = w = default_res
-        f = model.vae_scale_factor
-        plain, agg = model.produce_attn_maps(
-            [parsed.base_text_prompt], [negative_prompt],
-            height=h, width=w, num_inference_steps=int(steps),
-            guidance_scale=guidance_weight, seed=int(seed),
-        )
-        color_masks = get_token_maps(
-            agg, color_ids[:-1], (h // f, w // f), int(seed),
-            segment_threshold=segment_threshold,
-            num_segments=int(num_segments),
-        )
-        fmt["color_obj_atten"] = [
-            np.asarray(resize_bicubic(np.asarray(m), (h, w)))
-            for m in color_masks[:-1]
-        ]
-        fmt["color_obj_atten_all"] = sum(
-            np.asarray(m) for m in color_masks[:-1]
-        ) if len(color_masks) > 1 else np.zeros_like(np.asarray(color_masks[0]))
-        masks, clusters = get_token_maps(
-            agg, region_ids[:-1], (h // f, w // f), int(seed),
-            segment_threshold=segment_threshold,
-            num_segments=int(num_segments), return_segments=True,
-        )
-        model.masks = masks
-        seg_vis = save_segmentation(clusters, "/tmp/gradio_vis",
-                                    int(num_segments), int(seed))
-        tok_vis = plot_attention_maps([masks], region_ids[:-1],
-                                      "/tmp/gradio_vis", int(seed),
-                                      tokens_vis=base_tokens)
-        rich = model.prompt_to_img(
-            region_prompts, [negative_prompt], height=h, width=w,
-            num_inference_steps=int(steps), guidance_scale=guidance_weight,
-            use_guidance=parsed.use_grad_guidance,
-            inject_selfattn=inject_selfattn,
-            inject_background=inject_background,
-            text_format_dict=fmt, seed=int(seed),
-            **({"encoder_reuse": int(encoder_reuse)}
-               if int(encoder_reuse) > 1 else {}),
-            **({"guidance_downsample": int(guidance_downsample)}
-               if int(guidance_downsample) > 1 else {}),
-        )
-        return [plain[0], rich[0], seg_vis, tok_vis]
 
     editor_path = os.path.join(os.path.dirname(__file__), "editor.html")
     with open(editor_path, encoding="utf-8") as fp:
