@@ -96,6 +96,18 @@ TINY_UNET = UNetConfig(
     norm_num_groups=8,
 )
 
+# Slimmer TINY variant for the committed *trained* color fixture
+# (tests/fixtures/color_fixture): same topology/depths as TINY_UNET so the
+# layer registry and capture resolutions line up, quarter the params so the
+# fp16 checkpoint stays ~2 MB in git and trains in minutes.
+FIXTURE_UNET = UNetConfig(
+    sample_size=8,
+    block_out_channels=(16, 32, 32, 32),
+    attention_head_dim=(2, 2, 2, 2),
+    cross_attention_dim=32,
+    norm_num_groups=8,
+)
+
 # Tiny SDXL-topology config (text_time conditioning, linear projections).
 TINY_XL_UNET = UNetConfig(
     sample_size=16,

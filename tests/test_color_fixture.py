@@ -1,0 +1,90 @@
+"""Gates on the committed TRAINED color fixture (scripts/train_color_fixture).
+
+Round-3 verdict: all quality artifacts were measured on random weights, where
+decode(latent) has no color correlation, so guidance comparisons proved
+protocol only. These tests run against the trained fixture, making the
+color-guidance mechanism (reference models/region_diffusion.py:151-168)
+measurable: decode must be color-faithful and guidance must actually steer
+region color toward the target.
+"""
+
+import numpy as np
+import pytest
+
+from rich_text_to_image_tpu.evaluation.fixtures import (
+    FIXTURE_DIR,
+    fixture_meta,
+    load_color_fixture,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return load_color_fixture()
+
+
+def test_meta_committed():
+    meta = fixture_meta(FIXTURE_DIR)
+    assert meta["configs"]["unet"] == "FIXTURE_UNET"
+    # the trainer's own solid-color probe must show a faithful decoder
+    assert meta["vae_solid_color_roundtrip_mean_abs_drgb"] < 0.08
+
+
+def test_decode_color_faithful(model):
+    """encode->decode of solid-color images preserves mean RGB."""
+    import jax.numpy as jnp
+
+    from rich_text_to_image_tpu.utils.colors import COLORS
+
+    px = model.unet_cfg.sample_size * model.vae_scale_factor
+    rgbs = np.asarray(list(COLORS.values()), np.float32) / 255.0
+    probe = np.stack([np.full((px, px, 3), c, np.float32) * 2 - 1
+                      for c in rgbs])
+    z = model.vae.apply(model.vae_params, jnp.asarray(probe),
+                        method=model.vae.encode)
+    rt = model.vae.apply(model.vae_params,
+                         z / model.vae_cfg.scaling_factor,
+                         method=model.vae.decode)
+    err = np.abs(np.asarray(rt) - probe).mean() / 2.0  # [0,1] RGB units
+    assert err < 0.08, f"decoder not color-faithful: mean|dRGB|={err:.3f}"
+
+
+def _run(model, use_guidance, steps=12, weight=1.0, **kw):
+    px = model.unet_cfg.sample_size * model.vae_scale_factor
+    h = model.unet_cfg.sample_size
+    mask = np.zeros((1, h, h), np.float32)
+    mask[:, :, : h // 2] = 1.0  # left half = the steered region
+    model.masks = [mask, 1.0 - mask]
+    mask_px = np.zeros((1, px, px), np.float32)
+    mask_px[:, :, : px // 2] = 1.0
+    target = np.asarray([[1.0, 0.0, 0.0]], np.float32)  # red
+    fmt = {"guidance_start_step": 999, "color_guidance_weight": weight,
+           "target_RGB": [target[0]],
+           "color_obj_atten": [mask_px],
+           "color_obj_atten_all": mask}
+    img = model.prompt_to_img(
+        ["a red square", "a square"], [""], height=px, width=px,
+        num_inference_steps=steps, guidance_scale=8.5,
+        text_format_dict=fmt, use_guidance=use_guidance, seed=7, **kw,
+    )
+    region = img[0][:, : px // 2].astype(np.float32) / 255.0
+    return float(np.linalg.norm(region - target[0], axis=-1).mean())
+
+
+def test_guidance_steers_toward_target(model):
+    """With the trained decoder, color guidance measurably pulls the masked
+    region toward the target RGB vs the same run without guidance."""
+    d_plain = _run(model, use_guidance=False)
+    d_ours = _run(model, use_guidance=True)
+    assert d_ours < d_plain, (d_ours, d_plain)
+    # the drop must be a real margin, not noise
+    assert d_ours < d_plain - 0.05, (d_ours, d_plain)
+
+
+def test_gds2_tracks_exact_on_trained_decoder(model):
+    """--guidance_downsample 2 must steer in the same direction as exact
+    guidance when the decoder is real (round-3 gap: random-VAE cosines of
+    0.12-0.38 were uninterpretable)."""
+    d_plain = _run(model, use_guidance=False)
+    d_gds2 = _run(model, use_guidance=True, guidance_downsample=2)
+    assert d_gds2 < d_plain - 0.03, (d_gds2, d_plain)
