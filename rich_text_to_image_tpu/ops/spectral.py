@@ -39,7 +39,10 @@ def _topk_eigvecs_subspace(key, M: jnp.ndarray, k: int, iters: int = 100):
     matmul+QR program that compiles in seconds on TPU.
     """
     n = M.shape[0]
-    p = k + max(4, k)  # oversampled basis
+    # oversampled basis, clamped to n: reduced QR of an [n, p>n] basis
+    # returns [n, n] and breaks the fori_loop carry (tiny-model benchmarks
+    # run the protocol's k=9 on 16-node affinities)
+    p = min(k + max(4, k), n)
     V = jax.random.normal(key, (n, p), M.dtype)
     # Shift to make the operator PSD: M + I has the same eigenvectors and
     # keeps power iteration from cancelling the algebraically-largest ones.

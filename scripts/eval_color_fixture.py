@@ -35,6 +35,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
+# the axon plugin (sitecustomize) overrides jax_platforms at registration —
+# drop its factory and force CPU, else this script CLAIMS the TPU and the
+# token mapper picks the on-chip solver path (tests/conftest.py:26-35)
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._backend_factories.pop("axon", None)
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+
 from rich_text_to_image_tpu.evaluation import benchmark_color
 from rich_text_to_image_tpu.evaluation.fixtures import load_color_fixture
 

@@ -34,6 +34,15 @@ if "--tpu" not in sys.argv:
     os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+
+if "--tpu" not in sys.argv:
+    # the axon plugin overrides jax_platforms at registration; drop its
+    # factory so CPU mode really is CPU (tests/conftest.py:26-35)
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 import optax

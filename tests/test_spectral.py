@@ -120,3 +120,16 @@ def test_spectral_deterministic():
     l1 = np.asarray(spectral_cluster(jax.random.PRNGKey(7), jnp.asarray(A), 3, n_init=5))
     l2 = np.asarray(spectral_cluster(jax.random.PRNGKey(7), jnp.asarray(A), 3, n_init=5))
     np.testing.assert_array_equal(l1, l2)
+
+
+def test_subspace_k_near_n_tiny_affinity():
+    """Protocol k (num_segments=9) on a tiny 16-node affinity (FIXTURE-model
+    benchmarks: latent 8 → seg res 4): the oversampled basis must clamp to
+    n or reduced QR shrinks the fori_loop carry (regression, round 4)."""
+    rng = np.random.RandomState(0)
+    A = _block_affinity(rng, [6, 5, 5])
+    got = np.asarray(
+        spectral_cluster(jax.random.PRNGKey(0), jnp.asarray(A), 9, n_init=5,
+                         method="subspace"))
+    assert got.shape == (16,)
+    assert len(np.unique(got)) <= 9
