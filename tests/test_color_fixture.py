@@ -88,3 +88,17 @@ def test_gds2_tracks_exact_on_trained_decoder(model):
     d_plain = _run(model, use_guidance=False)
     d_gds2 = _run(model, use_guidance=True, guidance_downsample=2)
     assert d_gds2 < d_plain - 0.03, (d_gds2, d_plain)
+
+
+def test_encoder_reuse_preserves_steering(model):
+    """Eval gate for `--encoder_reuse 2 --encoder_schedule early` (Faster
+    Diffusion, arXiv 2312.09608): on the trained decoder, guidance under
+    encoder reuse must still steer the region toward the target with at
+    least the exact run's qualitative margin, and track the exact run's
+    distance closely."""
+    d_plain = _run(model, use_guidance=False)
+    d_exact = _run(model, use_guidance=True)
+    d_er = _run(model, use_guidance=True, encoder_reuse=2,
+                encoder_schedule="early")
+    assert d_er < d_plain - 0.05, (d_er, d_plain)
+    assert abs(d_er - d_exact) < 0.05, (d_er, d_exact)
