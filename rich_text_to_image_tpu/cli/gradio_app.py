@@ -62,10 +62,20 @@ def run_generate(model, resolution, text_input, negative_prompt, seed, steps,
     )
     h = w = resolution
     f = model.vae_scale_factor
+    # refer-trajectory precompute (see cli/sample.py run_sample): the plain
+    # pass doubles as the reference trajectory the injected rich pass needs
+    ref_kw = {}
+    if ((inject_selfattn > 0 or inject_background > 0)
+            and hasattr(model, "_rich_fn_refpre")):
+        plan = model.scheduler.plan(int(steps))
+        gates = np.asarray(plan.timesteps, np.float64) > (
+            (1 - inject_selfattn) * 1000
+        )
+        ref_kw = {"ref_capture_steps": tuple(np.nonzero(gates)[0].tolist())}
     plain, agg = model.produce_attn_maps(
         [parsed.base_text_prompt], [negative_prompt],
         height=h, width=w, num_inference_steps=int(steps),
-        guidance_scale=guidance_weight, seed=int(seed),
+        guidance_scale=guidance_weight, seed=int(seed), **ref_kw,
     )
     color_masks = get_token_maps(
         agg, color_ids[:-1], (h // f, w // f), int(seed),
@@ -101,6 +111,9 @@ def run_generate(model, resolution, text_input, negative_prompt, seed, steps,
            if int(encoder_reuse) > 1 else {}),
         **({"guidance_downsample": int(guidance_downsample)}
            if int(guidance_downsample) > 1 else {}),
+        **({"ref_cache": model.ref_cache}
+           if ref_kw and getattr(model, "ref_cache", None) is not None
+           else {}),
     )
     return [plain[0], rich[0], seg_vis, tok_vis]
 

@@ -108,12 +108,30 @@ def run_sample(model, args, param, save=True):
     f = model.vae_scale_factor
     lat_hw = (height // f, width // f)
 
+    # Refer-trajectory precompute: when the rich pass will run with
+    # injection, the plain pass (same seed/prompt/scheduler — it IS the
+    # refer trajectory the reference re-denoises, region_diffusion_sdxl.py
+    # :805-832) also captures the injection-step (Q,K)/resnet features +
+    # latent trajectory so the rich scan drops both refer rows.
+    use_refpre = (
+        (args.inject_selfattn > 0 or args.inject_background > 0)
+        and not getattr(args, "no_ref_precompute", False)
+        and hasattr(model, "_rich_fn_refpre")
+    )
+    ref_kw = {}
+    if use_refpre:
+        plan = model.scheduler.plan(param["steps"])
+        gates = np.asarray(plan.timesteps, np.float64) > (
+            (1 - args.inject_selfattn) * 1000
+        )
+        ref_kw = {"ref_capture_steps": tuple(np.nonzero(gates)[0].tolist())}
+
     # ---- plain pass + attention aggregation
     begin = time.time()
     plain_img, agg = model.produce_attn_maps(
         [parsed.base_text_prompt], [negative_text],
         height=height, width=width, num_inference_steps=param["steps"],
-        guidance_scale=param["guidance_weight"], seed=seed,
+        guidance_scale=param["guidance_weight"], seed=seed, **ref_kw,
     )
     if save:
         _imwrite(os.path.join(run_dir, f"seed{seed}_plain.jpg"), plain_img[0])
@@ -164,6 +182,9 @@ def run_sample(model, args, param, save=True):
            if getattr(args, "bf16_guidance", False) else {}),
         **({"guidance_downsample": args.guidance_downsample}
            if getattr(args, "guidance_downsample", 1) > 1 else {}),
+        **({"ref_cache": model.ref_cache}
+           if use_refpre and getattr(model, "ref_cache", None) is not None
+           else {}),
     )
     if save:
         _imwrite(os.path.join(run_dir, f"seed{seed}_rich.jpg"), rich_img[0])
@@ -227,6 +248,11 @@ def make_parser():
         "--bf16_guidance", action="store_true",
         help="run the color-guidance VAE decode + gradient in bfloat16 "
              "(fp32 range, ~3x cheaper); default keeps fp32 math",
+    )
+    parser.add_argument(
+        "--no_ref_precompute", action="store_true",
+        help="disable the refer-trajectory precompute (rich pass recomputes "
+             "the reference trajectory in-batch like the reference code)",
     )
     parser.add_argument(
         "--guidance_downsample", type=int, default=1,

@@ -238,7 +238,16 @@ class ResnetBlock(nn.Module):
         ):
             injected = controls.inject_resnet[self.layer_name].astype(h.dtype)
             gate = controls.inject_gate
-            if gate is None:
+            if (controls.inject_dst is not None
+                    and controls.inject_src is None):
+                # explicit feature into a row RANGE (refer-precomputed rich
+                # launch: only span rows take the stored refer feature)
+                d0, d1 = controls.inject_dst
+                hs = jnp.broadcast_to(injected, (d1 - d0,) + h.shape[1:])
+                if gate is not None:
+                    hs = jnp.where(gate, hs, h[d0:d1])
+                h_out = h.at[d0:d1].set(hs)
+            elif gate is None:
                 h_out = injected
             else:
                 h_out = jnp.where(gate, injected, h)
@@ -363,7 +372,23 @@ class Attention(nn.Module):
             if inj is not None:
                 qi, ki = inj
                 gate = controls.inject_gate
-                if gate is not None:
+                if (controls.inject_dst is not None
+                        and controls.inject_src is None):
+                    # explicit (Q, K) into a row RANGE only: the
+                    # refer-precomputed rich launch carries
+                    # [uncond, base, spans...] in one batch and only the span
+                    # rows take the stored refer (Q, K)
+                    d0, d1 = controls.inject_dst
+                    qs = jnp.broadcast_to(
+                        qi.astype(q.dtype), (d1 - d0,) + q.shape[1:])
+                    ks = jnp.broadcast_to(
+                        ki.astype(k.dtype), (d1 - d0,) + k.shape[1:])
+                    if gate is not None:
+                        qs = jnp.where(gate, qs, q[d0:d1])
+                        ks = jnp.where(gate, ks, k[d0:d1])
+                    q_used = q.at[d0:d1].set(qs)
+                    k_used = k.at[d0:d1].set(ks)
+                elif gate is not None:
                     # broadcast the single reference row over the region batch
                     q_used = jnp.where(gate, qi.astype(q.dtype), q)
                     k_used = jnp.where(gate, ki.astype(k.dtype), k)

@@ -36,6 +36,7 @@ from ..models.clip import CLIPTextModel
 from ..models.tokenizer import CLIPTokenizer
 from ..models.unet import (
     EMPTY_CAPTURE,
+    INJECT_RESNET_NAME,
     CaptureSpec,
     UNet2DCondition,
     UNetControls,
@@ -253,8 +254,13 @@ class RegionDiffusion(MeshDecodeMixin):
         guidance_scale: float = 7.5,
         latents: Optional[jnp.ndarray] = None,
         seed: int = 0,
+        ref_capture_steps: Optional[tuple] = None,
     ):
         """Plain CFG pass; returns (images uint8, AttnAggregates).
+
+        ``ref_capture_steps``: also capture the refer cache (latent
+        trajectory + cond-row (Q,K)/resnet at the listed step indices),
+        stashed as ``self.ref_cache`` — see RegionDiffusionXL.sample.
 
         Reference: region_diffusion.py:180-225 with tokenmap hooks active.
         Single prompt only — the capture scan aggregates cond-row maps of
@@ -278,12 +284,22 @@ class RegionDiffusion(MeshDecodeMixin):
         plan = self.scheduler.plan(num_inference_steps)
         latents = latents * getattr(plan, "init_noise_sigma", 1.0)
         seg_res, self_layers, cross_by_res = self._capture_layout((h, w))
+        ref_slots = (tuple(int(s) for s in ref_capture_steps)
+                     if ref_capture_steps is not None else None)
         fn = self._plain_fn((h, w), plan.num_steps, seg_res, self_layers,
-                            tuple(sorted(cross_by_res.items())))
-        lat, self_sum, cross_sums = fn(
+                            tuple(sorted(cross_by_res.items())),
+                            ref_slots=ref_slots)
+        out = fn(
             self.unet_params, latents, embeds, _plan_arrays(plan),
             jnp.float32(guidance_scale),
         )
+        if ref_slots is not None:
+            lat, self_sum, cross_sums, cache = out
+            cache["steps"] = ref_slots
+            self.ref_cache = cache
+        else:
+            lat, self_sum, cross_sums = out
+            self.ref_cache = None
         agg = AttnAggregates(
             self_sum=self_sum,  # stays on device; token_maps fetches lazily
             self_count=len(self_layers),
@@ -296,8 +312,15 @@ class RegionDiffusion(MeshDecodeMixin):
         self.attn_aggregates = agg  # parity-ish attribute (selfattn_maps etc.)
         return self.decode_latents(lat), agg
 
-    def _plain_fn(self, latent_hw, num_steps, seg_res, self_layers, cross_items):
-        key = ("plain", latent_hw, num_steps, self_layers, cross_items)
+    def _plain_fn(self, latent_hw, num_steps, seg_res, self_layers,
+                  cross_items, ref_slots=None):
+        """Plain CFG scan; with ``ref_slots`` it additionally captures the
+        refer cache (latent trajectory + cond-row (Q,K)/resnet at the listed
+        step indices) — see RegionDiffusionXL._plain_fn: the refer
+        trajectory the reference re-denoises inside its rich loop
+        (region_diffusion.py:99-148) is mathematically THIS pass."""
+        key = ("plain", latent_hw, num_steps, self_layers, cross_items,
+               ref_slots)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
@@ -308,6 +331,15 @@ class RegionDiffusion(MeshDecodeMixin):
         agg_start = self.agg_start_step
         unet = self.unet
         constrain = self._constrain_batch
+        with_ref = ref_slots is not None
+        n_slots = len(ref_slots) if with_ref else 0
+        ref_extra = dict(qk=True, resnet=frozenset({INJECT_RESNET_NAME}))
+        if n_slots:
+            slot_np = np.zeros(num_steps, np.int32)
+            is_ref_np = np.zeros(num_steps, bool)
+            for j, s in enumerate(ref_slots):
+                slot_np[s] = j
+                is_ref_np[s] = True
 
         @jax.jit
         def run(params, latents, embeds, plan, g):
@@ -322,11 +354,40 @@ class RegionDiffusion(MeshDecodeMixin):
                 cross_probs=frozenset(n for _, ns in cross_items for n in ns)
             )
 
+            if n_slots:
+                shapes = jax.eval_shape(
+                    lambda p, l, e: unet.apply(
+                        p, jnp.concatenate([l, l], 0), jnp.int32(0), e,
+                        capture=CaptureSpec(**ref_extra))[1],
+                    params, latents, embeds,
+                )
+                qk0 = {
+                    n: tuple(
+                        jnp.zeros((n_slots,) + s.shape[1:], s.dtype)
+                        for s in qk)
+                    for n, qk in shapes["self_qk"].items()
+                }
+                res0 = {
+                    n: jnp.zeros((n_slots,) + s.shape[1:], s.dtype)
+                    for n, s in shapes["resnet_hidden"].items()
+                }
+                slot_arr = jnp.asarray(slot_np)
+                is_ref = jnp.asarray(is_ref_np)
+            else:
+                qk0, res0 = {}, {}
+            traj0 = (
+                jnp.zeros((num_steps + 1,) + latents.shape, latents.dtype)
+                if with_ref else jnp.zeros((0,) + latents.shape, latents.dtype)
+            )
+
             def body(carry, i):
-                lat, st, self_sum, cross = carry
+                lat, st, self_sum, cross, qk_bufs, res_bufs, traj = carry
                 t = plan.timesteps[i]
                 x = constrain(sched.scale_model_input(
                     plan, i, jnp.concatenate([lat, lat], axis=0)))
+                if with_ref:
+                    traj = jax.lax.dynamic_update_slice(
+                        traj, lat[None], (i, 0, 0, 0, 0))
 
                 # --- aggregate capture (cond row = 1)
                 # SD quirk parity: self maps overwrite each step (the
@@ -336,51 +397,108 @@ class RegionDiffusion(MeshDecodeMixin):
                 # the self-probs capture; cross probs accumulate from
                 # agg_start; earlier steps run capture-free. lax.switch
                 # executes one branch per step (the reference runs its hooks
-                # on every step and discards the results).
-                def _none(_):
-                    eps, _ = unet.apply(params, x, t, embeds)
-                    return (eps, self_sum,
-                            tuple(jnp.zeros_like(c) for c in cross0))
+                # on every step and discards the results). ref-capture steps
+                # additionally emit (Q,K)+resnet into their slot.
+                def _mk(mode, cap_ref):
+                    base_spec = {
+                        0: None, 1: cross_capture, 2: capture,
+                    }[mode]
+                    if cap_ref:
+                        spec = CaptureSpec(**{
+                            **({"self_probs": base_spec.self_probs,
+                                "cross_probs": base_spec.cross_probs}
+                               if base_spec is not None else {}),
+                            **ref_extra,
+                        })
+                    else:
+                        spec = base_spec
 
-                def _cross_only(_):
-                    eps, aux = unet.apply(params, x, t, embeds,
-                                          capture=cross_capture)
-                    return (eps, self_sum, tuple(
-                        sum(aux["cross_probs"][n][1].astype(jnp.float32)
-                            for n in ns)
-                        for _, ns in cross_items
-                    ))
+                    def br(ops):
+                        qk_bufs, res_bufs = ops
+                        if spec is None:
+                            eps, aux = unet.apply(params, x, t, embeds)
+                        else:
+                            eps, aux = unet.apply(params, x, t, embeds,
+                                                  capture=spec)
+                        if mode == 2:
+                            new_self = sum(
+                                aux["self_probs"][n][1].astype(jnp.float32)
+                                for n in self_layers
+                            ) if self_layers else self_sum
+                            w = (i >= agg_start).astype(jnp.float32)
+                            d_cross = tuple(
+                                w * sum(
+                                    aux["cross_probs"][n][1].astype(
+                                        jnp.float32)
+                                    for n in ns)
+                                for _, ns in cross_items
+                            )
+                        elif mode == 1:
+                            new_self = self_sum
+                            d_cross = tuple(
+                                sum(aux["cross_probs"][n][1].astype(
+                                    jnp.float32) for n in ns)
+                                for _, ns in cross_items
+                            )
+                        else:
+                            new_self = self_sum
+                            d_cross = tuple(
+                                jnp.zeros_like(c) for c in cross0)
+                        if cap_ref:
+                            slot = slot_arr[i]
+                            qk_bufs = {
+                                n: tuple(
+                                    jax.lax.dynamic_update_slice(
+                                        buf, val[1:2].astype(buf.dtype),
+                                        (slot,) + (0,) * (buf.ndim - 1))
+                                    for buf, val in zip(
+                                        qk_bufs[n], aux["self_qk"][n]))
+                                for n in qk_bufs
+                            }
+                            res_bufs = {
+                                n: jax.lax.dynamic_update_slice(
+                                    res_bufs[n],
+                                    aux["resnet_hidden"][n][1:2].astype(
+                                        res_bufs[n].dtype),
+                                    (slot,) + (0,) * (res_bufs[n].ndim - 1))
+                                for n in res_bufs
+                            }
+                        return eps, new_self, d_cross, qk_bufs, res_bufs
 
-                def _full(_):
-                    eps, aux = unet.apply(params, x, t, embeds,
-                                          capture=capture)
-                    new_self = sum(
-                        aux["self_probs"][n][1].astype(jnp.float32)
-                        for n in self_layers
-                    ) if self_layers else self_sum
-                    w = (i >= agg_start).astype(jnp.float32)
-                    return (eps, new_self, tuple(
-                        w * sum(aux["cross_probs"][n][1].astype(jnp.float32)
-                                for n in ns)
-                        for _, ns in cross_items
-                    ))
+                    return br
 
                 idx = jnp.where(
                     i == num_steps - 1, 2,
                     jnp.where(i >= agg_start, 1, 0),
                 )
-                eps, new_self, d_cross = jax.lax.switch(
-                    idx, [_none, _cross_only, _full], None)
+                if n_slots:
+                    idx = idx + 3 * is_ref[i].astype(idx.dtype)
+                    branches = [_mk(m, False) for m in range(3)] + [
+                        _mk(m, True) for m in range(3)]
+                else:
+                    branches = [_mk(m, False) for m in range(3)]
+                eps, new_self, d_cross, qk_bufs, res_bufs = jax.lax.switch(
+                    idx, branches, (qk_bufs, res_bufs))
                 new_cross = tuple(c + d for c, d in zip(cross, d_cross))
                 eps = eps.astype(jnp.float32)
                 e = eps[0:1] + g * (eps[1:2] - eps[0:1])
                 lat, st = sched.step(plan, i, st, e, lat)
-                return (lat, st, new_self, new_cross), None
+                return (lat, st, new_self, new_cross, qk_bufs, res_bufs,
+                        traj), None
 
-            (lat, _, self_sum, cross), _ = jax.lax.scan(
-                body, (latents, st0, self_sum0, cross0), jnp.arange(num_steps)
+            (lat, _, self_sum, cross, qk_bufs, res_bufs, traj), _ = (
+                jax.lax.scan(
+                    body,
+                    (latents, st0, self_sum0, cross0, qk0, res0, traj0),
+                    jnp.arange(num_steps),
+                )
             )
-            return lat, self_sum, cross
+            if not with_ref:
+                return lat, self_sum, cross
+            traj = jax.lax.dynamic_update_slice(
+                traj, lat[None], (num_steps, 0, 0, 0, 0))
+            return lat, self_sum, cross, dict(
+                traj=traj, qk=qk_bufs, resnet=res_bufs)
 
         self._jit_cache[key] = run
         return run
@@ -509,11 +627,15 @@ class RegionDiffusion(MeshDecodeMixin):
         encoder_schedule: str = "early",
         bf16_guidance: bool = False,
         guidance_downsample: int = 1,
+        ref_cache: Optional[dict] = None,
     ) -> np.ndarray:
         """Rich region-based sampling (reference region_diffusion.py:248-273).
 
         ``prompts``: region prompts, base prompt last. ``self.masks`` must
         hold len(prompts) masks (spans + background) from get_token_maps.
+        ``ref_cache``: a refer cache from produce_attn_maps(
+        ref_capture_steps=...) with the SAME seed/prompt/steps — lets the
+        scan drop the in-batch refer rows (see RegionDiffusionXL.sample).
         """
         text_format_dict = dict(text_format_dict or {})
         embeds = self.get_text_embeds(list(prompts), negative_prompts)
@@ -540,6 +662,7 @@ class RegionDiffusion(MeshDecodeMixin):
             spec=spec,
             text_format_dict=text_format_dict,
             seed=seed,
+            ref_cache=ref_cache,
         )
         return self.decode_latents(lat)
 
@@ -553,6 +676,7 @@ class RegionDiffusion(MeshDecodeMixin):
         spec: RichControlSpec = RichControlSpec(),
         text_format_dict: Optional[dict] = None,
         seed: int = 0,
+        ref_cache: Optional[dict] = None,
     ) -> jnp.ndarray:
         text_format_dict = dict(text_format_dict or {})
         h, w = height // self.vae_scale_factor, width // self.vae_scale_factor
@@ -626,6 +750,44 @@ class RegionDiffusion(MeshDecodeMixin):
         gds = max(int(spec.guidance_downsample), 1) if use_grad else 1
         if h % gds or w % gds or height % gds or width % gds:
             gds = 1  # non-divisible shapes: fall back to the exact path
+
+        if ref_cache is not None and run_reference:
+            # precomputed refer trajectory (see RegionDiffusionXL): valid
+            # only if captured at exactly this run's injection steps
+            want = tuple(np.nonzero(inject_gates)[0].tolist())
+            if (tuple(ref_cache.get("steps", ())) == want
+                    and ref_cache["traj"].shape[0] == S + 1):
+                fn = self._rich_fn_refpre(
+                    (h, w), S, n_styles, use_grad, tw is not None,
+                    stride > 1, use_grad and spec.bf16_guidance, gds,
+                    has_qk=len(want) > 0, bg_idx=min(bg_step + 1, S),
+                    use_bg=bool(spec.inject_background > 0),
+                )
+                slot_np = np.zeros(S, np.int32)
+                for j, s in enumerate(want):
+                    slot_np[s] = j
+                return fn(
+                    self.unet_params, self.vae_params, latents,
+                    text_embeddings, masks, _plan_arrays(plan),
+                    dict(
+                        g=jnp.float32(spec.guidance_scale),
+                        inject_gates=jnp.asarray(inject_gates),
+                        bg_gates=jnp.asarray(bg_gates),
+                        guidance_gates=jnp.asarray(guidance_gates),
+                        alpha_raw=jnp.asarray(alpha_raw),
+                        tw_rows=tw_rows,
+                        ts_rows=ts_rows,
+                        color_masks_px=color_masks_px,
+                        target_rgb=target_rgb,
+                        color_all=color_all,
+                        color_w=jnp.float32(spec.color_guidance_weight),
+                        enc_gates=jnp.asarray(enc_gates),
+                        slot_of_step=jnp.asarray(slot_np),
+                    ),
+                    dict(traj=ref_cache["traj"], qk=ref_cache["qk"],
+                         resnet=ref_cache["resnet"]),
+                )
+
         fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
                            tw is not None, stride > 1,
                            use_grad and spec.bf16_guidance, gds)
@@ -918,6 +1080,176 @@ class RegionDiffusion(MeshDecodeMixin):
                 body, (lat0, st0, enc0), jnp.arange(num_steps)
             )
             return lat_fin[0:1]
+
+        self._jit_cache[key] = run
+        return run
+
+    def _rich_fn_refpre(self, latent_hw, num_steps, n_styles, use_grad,
+                        use_tw, enc_reuse, bf16_guidance, guidance_ds,
+                        has_qk, bg_idx, use_bg):
+        """Rich scan against a PRECOMPUTED refer trajectory — SD variant of
+        RegionDiffusionXL._rich_fn_refpre (see its docstring; reference
+        recompute: region_diffusion.py:99-148). One [uncond, spans..., base]
+        launch of R+2 rows at every step: injection reads the plain pass's
+        stored per-step (Q, K)/resnet via ``ctl['slot_of_step']``;
+        background injection reads ``cache['traj'][bg_idx]``."""
+        key = ("richpre", latent_hw, num_steps, n_styles, use_grad, use_tw,
+               enc_reuse, bf16_guidance, guidance_ds, has_qk, bg_idx, use_bg)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        sched = self.scheduler
+        unet = self.unet
+        vae = (AutoencoderKL(self.vae_cfg, dtype=jnp.bfloat16)
+               if bf16_guidance else self.vae)
+        vae_cfg = self.vae_cfg
+        constrain = self._constrain_batch
+        R = n_styles - 1
+
+        @jax.jit
+        def run(params, vae_params, latents, embeds, masks, plan, ctl,
+                cache):
+            st0 = sched.init_state(latents.shape)
+            decode = jax.checkpoint(
+                lambda vp, z: vae.apply(vp, z, method=vae.decode)
+            )
+
+            def unet_fwd(x, t, e, controls, enc_cache):
+                emb = unet.apply(params, t, x.shape[0], None,
+                                 method=unet.embed_time)
+
+                def enc_now(_):
+                    return unet.apply(params, x, emb, e, controls,
+                                      EMPTY_CAPTURE, method=unet.encode)
+
+                if enc_cache is None:
+                    enc = enc_now(None)
+                else:
+                    gate_enc, cached = enc_cache
+                    enc = jax.lax.cond(gate_enc, enc_now, lambda c: c, cached)
+                eps, _ = unet.apply(params, enc, emb, e, controls,
+                                    EMPTY_CAPTURE, method=unet.decode)
+                return eps, enc
+
+            def _zero_enc():
+                def f(p, lat1, ee):
+                    x = jnp.concatenate([lat1] * (R + 2), axis=0)
+                    emb = unet.apply(p, jnp.int32(0), R + 2, None,
+                                     method=unet.embed_time)
+                    return unet.apply(p, x, emb, ee, None, EMPTY_CAPTURE,
+                                      method=unet.encode)
+
+                shapes = jax.eval_shape(f, params, latents, embeds)
+                return jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+
+            def body(carry, i):
+                lat, st, enc_carry = carry
+                t = plan.timesteps[i]
+                gate = ctl["inject_gates"][i]
+                lat_in = sched.scale_model_input(plan, i, lat)
+                x = constrain(jnp.concatenate([lat_in] * (R + 2), axis=0))
+
+                kw = {}
+                if has_qk:
+                    slot = ctl["slot_of_step"][i]
+                    kw = dict(
+                        inject_gate=gate,
+                        inject_qk={
+                            n: tuple(
+                                jax.lax.dynamic_index_in_dim(
+                                    b, slot, 0, keepdims=True)
+                                for b in bufs)
+                            for n, bufs in cache["qk"].items()
+                        },
+                        inject_resnet={
+                            n: jax.lax.dynamic_index_in_dim(
+                                b, slot, 0, keepdims=True)
+                            for n, b in cache["resnet"].items()
+                        },
+                        inject_dst=(1, 1 + R),
+                    )
+                controls = UNetControls(
+                    token_weights=ctl["tw_rows"] if use_tw else None,
+                    token_signs=ctl["ts_rows"] if use_tw else None,
+                    **kw,
+                ) if (use_tw or has_qk) else None
+
+                eps_all, enc_x = unet_fwd(
+                    x, t, embeds, controls,
+                    (ctl["enc_gates"][i], enc_carry[0]) if enc_reuse
+                    else None,
+                )
+                enc_new = (enc_x,) if enc_reuse else ()
+                eps_all = eps_all.astype(jnp.float32)
+                eps_uncond = eps_all[0:1]
+                eps_spans = eps_all[1:1 + R]
+                eps_base = eps_all[R + 1:R + 2]
+
+                # composite under masks (region_diffusion.py:119-128)
+                mask_sum = masks.sum(0, keepdims=False)
+                noise_uncond = eps_uncond * mask_sum[None]
+                noise_text = eps_base * masks[-1][None]
+                if R > 0:
+                    noise_text = noise_text + (eps_spans * masks[:-1]).sum(
+                        0, keepdims=True
+                    )
+                noise = noise_uncond + ctl["g"] * (noise_text - noise_uncond)
+                lat, st = sched.step(plan, i, st, noise, lat)
+
+                # gradient color guidance (region_diffusion.py:151-168)
+                if use_grad:
+                    def color_loss(l):
+                        a = ctl["alpha_raw"][i]
+                        x0 = (l - noise * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+                        if guidance_ds > 1:
+                            d = guidance_ds
+                            _, hh, ww, c = x0.shape
+                            x0 = x0.reshape(
+                                1, hh // d, d, ww // d, d, c
+                            ).mean((2, 4))
+                        imgs = decode(
+                            vae_params,
+                            x0.astype(jnp.float32) / vae_cfg.scaling_factor,
+                        )
+                        imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+                        m = ctl["color_masks_px"]
+                        if guidance_ds > 1:
+                            d = guidance_ds
+                            n, hp, wp = m.shape
+                            m = m.reshape(
+                                n, hp // d, d, wp // d, d
+                            ).mean((2, 4))
+                        num = jnp.einsum("bhwc,nhw->nc", imgs, m)
+                        den = m.sum(axis=(1, 2))[:, None] + 1e-12
+                        per = jnp.mean(
+                            (num / den - ctl["target_rgb"]) ** 2, axis=1
+                        ) * 100.0
+                        return per.sum()
+
+                    def guided(l):
+                        grad = jax.grad(color_loss)(l)
+                        return l - grad * ctl["color_w"] * ctl["color_all"]
+
+                    lat = jax.lax.cond(
+                        ctl["guidance_gates"][i], guided, lambda l: l, lat
+                    )
+
+                # background injection (region_diffusion.py:171-173)
+                if use_bg:
+                    lat_bg = cache["traj"][bg_idx]
+                    lat = jnp.where(
+                        ctl["bg_gates"][i],
+                        lat_bg * masks[-1][None] + lat * (1 - masks[-1][None]),
+                        lat,
+                    )
+                return (lat, st, enc_new), None
+
+            enc0 = (_zero_enc(),) if enc_reuse else ()
+            (lat, _, _), _ = jax.lax.scan(
+                body, (latents, st0, enc0), jnp.arange(num_steps)
+            )
+            return lat
 
         self._jit_cache[key] = run
         return run

@@ -33,6 +33,7 @@ from ..models.clip import CLIPTextModel
 from ..models.tokenizer import CLIPTokenizer
 from ..models.unet import (
     EMPTY_CAPTURE,
+    INJECT_RESNET_NAME,
     CaptureSpec,
     UNet2DCondition,
     UNetControls,
@@ -322,9 +323,19 @@ class RegionDiffusionXL(MeshDecodeMixin):
         encoder_schedule: str = "early",
         bf16_guidance: bool = False,
         guidance_downsample: int = 1,
+        ref_capture_steps: Optional[tuple] = None,
+        ref_cache: Optional[dict] = None,
     ):
         """Reference single-entry sample() (region_diffusion_sdxl.py:555):
-        plain branch when run_rich_text=False, rich branch otherwise."""
+        plain branch when run_rich_text=False, rich branch otherwise.
+
+        ``ref_capture_steps`` (plain branch): also capture the refer cache —
+        the latent trajectory plus cond-row (Q,K)/resnet features at the
+        listed step indices — stashed as ``self.ref_cache``.  A later rich
+        call with the SAME seed/prompt/steps can pass it as ``ref_cache`` to
+        drop the in-batch refer rows (the reference recomputes that
+        trajectory inside its rich loop, region_diffusion_sdxl.py:805-828;
+        it is identical to the plain pass, so this is output-exact)."""
         if not isinstance(prompt, str):
             prompt = list(prompt)  # materialize once: encode_prompt and the
             # single-prompt guard below both consume it
@@ -356,13 +367,31 @@ class RegionDiffusionXL(MeshDecodeMixin):
                         f"{len(prompt)}"
                     )
             seg_res, self_layers, cross_by_res = self._capture_layout((h, w))
+            ref_slots = (tuple(int(s) for s in ref_capture_steps)
+                         if ref_capture_steps is not None else None)
+            if ref_slots and (
+                self._ref_qk_bytes_per_slot((h, w)) * len(ref_slots)
+                > getattr(self, "ref_precompute_max_bytes", 6e9)
+            ):
+                # (Q,K) slots would not fit HBM alongside params — skip the
+                # capture entirely; the rich pass falls back to the in-batch
+                # merged flow
+                ref_slots = None
             fn = self._plain_fn((h, w), plan.num_steps, seg_res, self_layers,
-                                tuple(sorted(cross_by_res.items())))
-            lat, self_sum, cross = fn(
+                                tuple(sorted(cross_by_res.items())),
+                                ref_slots=ref_slots)
+            out = fn(
                 self.unet_params, latents, embeds[:2], pooled[:2],
                 add_time_ids, _plan_arrays(plan),
                 jnp.float32(guidance_scale),
             )
+            if ref_slots is not None:
+                lat, self_sum, cross, cache = out
+                cache["steps"] = ref_slots
+                self.ref_cache = cache
+            else:
+                lat, self_sum, cross = out
+                self.ref_cache = None
             self.attn_aggregates = AttnAggregates(
                 self_sum=self_sum,  # stays on device; fetched lazily
                 self_count=len(self_layers),
@@ -392,17 +421,20 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 guidance_downsample=int(guidance_downsample),
             ),
             dict(text_format_dict or {}), latents, (height, width),
+            ref_cache=ref_cache,
         )
 
     # wrapper so the SD-style CLI flow works identically
     def produce_attn_maps(self, prompts, negative_prompts="", height=1024,
                           width=1024, num_inference_steps=50,
-                          guidance_scale=5.0, latents=None, seed=0):
+                          guidance_scale=5.0, latents=None, seed=0,
+                          ref_capture_steps=None):
         img = self.sample(
             prompts, negative_prompts, height=height, width=width,
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale, run_rich_text=False,
             latents=latents, seed=seed,
+            ref_capture_steps=ref_capture_steps,
         )
         return img, self.attn_aggregates
 
@@ -411,7 +443,8 @@ class RegionDiffusionXL(MeshDecodeMixin):
                       latents=None, text_format_dict=None, use_guidance=False,
                       inject_selfattn=0.0, inject_background=0.0, seed=0,
                       encoder_reuse=1, encoder_schedule="early",
-                      bf16_guidance=False, guidance_downsample=1):
+                      bf16_guidance=False, guidance_downsample=1,
+                      ref_cache=None):
         return self.sample(
             prompts, negative_prompts, height=height, width=width,
             num_inference_steps=num_inference_steps,
@@ -422,11 +455,62 @@ class RegionDiffusionXL(MeshDecodeMixin):
             encoder_reuse=encoder_reuse, encoder_schedule=encoder_schedule,
             bf16_guidance=bf16_guidance,
             guidance_downsample=guidance_downsample,
+            ref_cache=ref_cache,
         )
 
+    def _ref_qk_bytes_per_slot(self, latent_hw):
+        """HBM bytes one refer-capture slot costs (all attn1 (Q,K) rows +
+        the inject-resnet feature), from abstract shapes only."""
+        cache = getattr(self, "_ref_bytes_cache", None)
+        if cache is None:
+            cache = self._ref_bytes_cache = {}
+        if latent_hw in cache:
+            return cache[latent_hw]
+        h, w = latent_hw
+        spec = CaptureSpec(qk=True, resnet=frozenset({INJECT_RESNET_NAME}))
+        pstruct = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            self.unet_params)
+        dt = self.unet.dtype
+        x = jax.ShapeDtypeStruct((1, h, w, self.unet_cfg.in_channels), dt)
+        e = jax.ShapeDtypeStruct(
+            (1, 77, self.unet_cfg.cross_attention_dim), dt)
+        add_in = self.unet_params["params"]["add_embedding"][
+            "linear_1"]["kernel"].shape[0]
+        pool_dim = add_in - 6 * self.unet_cfg.addition_time_embed_dim
+        added = {
+            "text_embeds": jax.ShapeDtypeStruct((1, pool_dim), dt),
+            "time_ids": jax.ShapeDtypeStruct((1, 6), jnp.float32),
+        }
+        aux = jax.eval_shape(
+            lambda p, x, e, a: self.unet.apply(
+                p, x, jnp.int32(0), e, added_cond=a, capture=spec)[1],
+            pstruct, x, e, added,
+        )
+        n = sum(
+            int(np.prod(s.shape)) * s.dtype.itemsize
+            for s in jax.tree.leaves(
+                {"qk": aux["self_qk"], "res": aux["resnet_hidden"]})
+        )
+        cache[latent_hw] = n
+        return n
+
     # ------------------------------------------------------------ plain fn
-    def _plain_fn(self, latent_hw, num_steps, seg_res, self_layers, cross_items):
-        key = ("plain", latent_hw, num_steps, self_layers, cross_items)
+    def _plain_fn(self, latent_hw, num_steps, seg_res, self_layers,
+                  cross_items, ref_slots=None):
+        """Plain CFG scan; with ``ref_slots`` (a tuple of step indices, may
+        be empty) it additionally captures the refer cache the rich pass
+        needs: the latent trajectory [S+1] plus, at each listed step, the
+        cond row's (Q, K) at every attn1 and its inject-resnet feature.
+
+        The refer trajectory the reference re-denoises inside its rich loop
+        (region_diffusion_sdxl.py:805-828) is mathematically THIS pass —
+        same base prompt, negative prompt, initial latent, scheduler and
+        CFG — so capturing here lets the rich scan drop both refer rows
+        (R+4 → R+2 rows during injection steps) at the cost of one stored
+        (Q, K) set per injection step."""
+        key = ("plain", latent_hw, num_steps, self_layers, cross_items,
+               ref_slots)
         if key in self._jit_cache:
             return self._jit_cache[key]
         sched = self.scheduler
@@ -437,6 +521,18 @@ class RegionDiffusionXL(MeshDecodeMixin):
         )
         agg_start = self.agg_start_step
         constrain = self._constrain_batch
+        with_ref = ref_slots is not None
+        n_slots = len(ref_slots) if with_ref else 0
+        capture_ref = CaptureSpec(
+            qk=True, resnet=frozenset({INJECT_RESNET_NAME}))
+        capture_both = dataclasses.replace(
+            capture, qk=True, resnet=frozenset({INJECT_RESNET_NAME}))
+        if n_slots:
+            slot_np = np.zeros(num_steps, np.int32)
+            is_ref_np = np.zeros(num_steps, bool)
+            for j, s in enumerate(ref_slots):
+                slot_np[s] = j
+                is_ref_np[s] = True
 
         @jax.jit
         def run(params, latents, embeds, pooled, time_ids, plan, g):
@@ -446,57 +542,140 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 jnp.zeros((r * r, 77), jnp.float32) for r, _ in cross_items
             )
             st0 = sched.init_state(latents.shape)
+            added = {
+                "text_embeds": pooled,
+                "time_ids": jnp.tile(time_ids, (2, 1)),
+            }
+
+            if n_slots:
+                # zero-init (Q,K)/resnet slot buffers from the capture
+                # forward's abstract shapes
+                shapes = jax.eval_shape(
+                    lambda p, l, e: unet.apply(
+                        p, jnp.concatenate([l, l], 0), jnp.int32(0), e,
+                        added_cond=added, capture=capture_ref)[1],
+                    params, latents, embeds,
+                )
+                qk0 = {
+                    n: tuple(
+                        jnp.zeros((n_slots,) + s.shape[1:], s.dtype)
+                        for s in qk)
+                    for n, qk in shapes["self_qk"].items()
+                }
+                res0 = {
+                    n: jnp.zeros((n_slots,) + s.shape[1:], s.dtype)
+                    for n, s in shapes["resnet_hidden"].items()
+                }
+                slot_arr = jnp.asarray(slot_np)
+                is_ref = jnp.asarray(is_ref_np)
+            else:
+                qk0, res0 = {}, {}
+            traj0 = (
+                jnp.zeros((num_steps + 1,) + latents.shape, latents.dtype)
+                if with_ref else jnp.zeros((0,) + latents.shape, latents.dtype)
+            )
 
             def body(carry, i):
-                lat, st, self_sum, cross = carry
+                lat, st, self_sum, cross, qk_bufs, res_bufs, traj = carry
                 t = plan.timesteps[i]
                 x = jnp.concatenate([lat, lat], axis=0)
                 x = constrain(sched.scale_model_input(plan, i, x))
-                added = {
-                    "text_embeds": pooled,
-                    "time_ids": jnp.tile(time_ids, (2, 1)),
-                }
+                if with_ref:
+                    traj = jax.lax.dynamic_update_slice(
+                        traj, lat[None], (i, 0, 0, 0, 0))
 
                 # steps before agg_start would compute captures weighted by
-                # zero (the reference runs its hooks and discards) — the
-                # cond runs a capture-free forward there instead
-                def _cap(_):
-                    eps, aux = unet.apply(params, x, t, embeds,
-                                          added_cond=added, capture=capture)
-                    d_self = sum(
-                        aux["self_probs"][n][1].astype(jnp.float32)
-                        for n in self_layers
-                    ) if self_layers else jnp.zeros_like(self_sum)
-                    d_cross = tuple(
-                        sum(aux["cross_probs"][n][1].astype(jnp.float32)
-                            for n in ns)
-                        for _, ns in cross_items
+                # zero (the reference runs its hooks and discards) — those
+                # steps run a capture-free forward instead; ref-capture
+                # steps additionally emit (Q,K)+resnet into their slot
+                def _mk(cap_agg, cap_ref):
+                    spec = (capture_both if (cap_agg and cap_ref)
+                            else capture if cap_agg
+                            else capture_ref if cap_ref else None)
+
+                    def br(ops):
+                        qk_bufs, res_bufs = ops
+                        if spec is None:
+                            eps, aux = unet.apply(params, x, t, embeds,
+                                                  added_cond=added)
+                        else:
+                            eps, aux = unet.apply(params, x, t, embeds,
+                                                  added_cond=added,
+                                                  capture=spec)
+                        d_self = sum(
+                            aux["self_probs"][n][1].astype(jnp.float32)
+                            for n in self_layers
+                        ) if (cap_agg and self_layers) else jnp.zeros_like(
+                            self0)
+                        d_cross = tuple(
+                            sum(aux["cross_probs"][n][1].astype(jnp.float32)
+                                for n in ns)
+                            for _, ns in cross_items
+                        ) if cap_agg else tuple(
+                            jnp.zeros_like(c) for c in cross0)
+                        if cap_ref:
+                            slot = slot_arr[i]
+                            qk_bufs = {
+                                n: tuple(
+                                    jax.lax.dynamic_update_slice(
+                                        buf, val[1:2].astype(buf.dtype),
+                                        (slot,) + (0,) * (buf.ndim - 1))
+                                    for buf, val in zip(
+                                        qk_bufs[n], aux["self_qk"][n]))
+                                for n in qk_bufs
+                            }
+                            res_bufs = {
+                                n: jax.lax.dynamic_update_slice(
+                                    res_bufs[n],
+                                    aux["resnet_hidden"][n][1:2].astype(
+                                        res_bufs[n].dtype),
+                                    (slot,) + (0,) * (res_bufs[n].ndim - 1))
+                                for n in res_bufs
+                            }
+                        return eps, d_self, d_cross, qk_bufs, res_bufs
+
+                    return br
+
+                is_agg = (i >= agg_start) if agg_start > 0 else (i >= 0)
+                if n_slots:
+                    idx = is_agg.astype(jnp.int32) + 2 * is_ref[i].astype(
+                        jnp.int32)
+                    eps, d_self, d_cross, qk_bufs, res_bufs = jax.lax.switch(
+                        idx,
+                        [_mk(False, False), _mk(True, False),
+                         _mk(False, True), _mk(True, True)],
+                        (qk_bufs, res_bufs),
                     )
-                    return eps, d_self, d_cross
-
-                def _nocap(_):
-                    eps, _ = unet.apply(params, x, t, embeds,
-                                        added_cond=added)
-                    return (eps, jnp.zeros_like(self_sum),
-                            tuple(jnp.zeros_like(c) for c in cross0))
-
-                if agg_start > 0:
-                    eps, d_self, d_cross = jax.lax.cond(
-                        i >= agg_start, _cap, _nocap, None)
+                elif agg_start > 0:
+                    eps, d_self, d_cross, qk_bufs, res_bufs = jax.lax.cond(
+                        is_agg, _mk(True, False), _mk(False, False),
+                        (qk_bufs, res_bufs),
+                    )
                 else:
-                    eps, d_self, d_cross = _cap(None)
+                    eps, d_self, d_cross, qk_bufs, res_bufs = _mk(
+                        True, False)((qk_bufs, res_bufs))
                 # SDXL accumulates self maps over steps (no overwrite quirk)
                 self_sum = self_sum + d_self
                 cross = tuple(c + d for c, d in zip(cross, d_cross))
                 eps = eps.astype(jnp.float32)
                 e = eps[0:1] + g * (eps[1:2] - eps[0:1])
                 lat, st = sched.step(plan, i, st, e, lat)
-                return (lat, st, self_sum, cross), None
+                return (lat, st, self_sum, cross, qk_bufs, res_bufs,
+                        traj), None
 
-            (lat, _, self_sum, cross), _ = jax.lax.scan(
-                body, (latents, st0, self0, cross0), jnp.arange(num_steps)
+            (lat, _, self_sum, cross, qk_bufs, res_bufs, traj), _ = (
+                jax.lax.scan(
+                    body,
+                    (latents, st0, self0, cross0, qk0, res0, traj0),
+                    jnp.arange(num_steps),
+                )
             )
-            return lat, self_sum, cross
+            if not with_ref:
+                return lat, self_sum, cross
+            traj = jax.lax.dynamic_update_slice(
+                traj, lat[None], (num_steps, 0, 0, 0, 0))
+            return lat, self_sum, cross, dict(
+                traj=traj, qk=qk_bufs, resnet=res_bufs)
 
         self._jit_cache[key] = run
         return run
@@ -504,7 +683,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
     # ------------------------------------------------------------- rich fn
     def _sample_rich(self, embeds, pooled, time_ids, latent_hw, plan, spec,
                      text_format_dict, latents, pixel_hw,
-                     return_latents: bool = False):
+                     return_latents: bool = False, ref_cache=None):
         h, w = latent_hw
         height, width = pixel_hw
         n_styles = embeds.shape[0] - 1
@@ -581,6 +760,48 @@ class RegionDiffusionXL(MeshDecodeMixin):
         gds = max(int(spec.guidance_downsample), 1) if use_grad else 1
         if h % gds or w % gds or height % gds or width % gds:
             gds = 1  # non-divisible shapes: fall back to the exact path
+
+        if ref_cache is not None and run_reference:
+            # precomputed refer trajectory: valid only if the cache was
+            # captured at exactly this run's injection steps and step count
+            # (same seed/prompt/scheduler is the caller's contract)
+            want = tuple(np.nonzero(inject_gates)[0].tolist())
+            if (tuple(ref_cache.get("steps", ())) == want
+                    and ref_cache["traj"].shape[0] == S + 1):
+                fn = self._rich_fn_refpre(
+                    (h, w), S, n_styles, use_grad, use_tw, stride > 1,
+                    use_grad and spec.bf16_guidance, gds,
+                    has_qk=len(want) > 0, bg_idx=min(bg_step + 1, S),
+                    use_bg=bool(spec.inject_background > 0),
+                )
+                slot_np = np.zeros(S, np.int32)
+                for j, s in enumerate(want):
+                    slot_np[s] = j
+                lat = fn(
+                    self.unet_params, self.vae_params, latents, embeds,
+                    pooled, time_ids, masks, _plan_arrays(plan),
+                    dict(
+                        g=jnp.float32(spec.guidance_scale),
+                        inject_gates=jnp.asarray(inject_gates),
+                        bg_gates=jnp.asarray(bg_gates),
+                        guidance_gates=jnp.asarray(guidance_gates),
+                        alpha_raw=jnp.asarray(alpha_raw),
+                        tw_rows=tw_rows,
+                        ts_rows=ts_rows,
+                        color_masks_px=color_masks_px,
+                        target_rgb=target_rgb,
+                        color_all=color_all,
+                        color_w=jnp.float32(spec.color_guidance_weight),
+                        enc_gates=jnp.asarray(enc_gates),
+                        slot_of_step=jnp.asarray(slot_np),
+                    ),
+                    dict(traj=ref_cache["traj"], qk=ref_cache["qk"],
+                         resnet=ref_cache["resnet"]),
+                )
+                if return_latents:
+                    return lat
+                return self.decode_latents(lat)
+
         fn = self._rich_fn((h, w), S, n_styles, run_reference, use_grad,
                            use_tw, stride > 1,
                            use_grad and spec.bf16_guidance,
@@ -940,6 +1161,199 @@ class RegionDiffusionXL(MeshDecodeMixin):
             (lat, _, _, _, _), _ = jax.lax.scan(
                 body, (latents, lat_ref0, st0, st_ref0, enc0),
                 jnp.arange(num_steps)
+            )
+            return lat
+
+        self._jit_cache[key] = run
+        return run
+
+    def _rich_fn_refpre(self, latent_hw, num_steps, n_styles, use_grad,
+                        use_tw, enc_reuse, bf16_guidance, guidance_ds,
+                        has_qk, bg_idx, use_bg):
+        """Rich scan against a PRECOMPUTED refer trajectory (see _plain_fn).
+
+        The reference re-denoises the base prompt inside its rich loop to
+        source the injected (Q, K)/resnet features and the background-
+        injection latent (region_diffusion_sdxl.py:805-832). Those are
+        exactly the plain pass's values, so with the plain pass's cache this
+        scan runs ONE [uncond, base, spans...] launch of R+2 rows at every
+        step — no refer rows at any step (vs R+4 during refer steps in
+        _rich_fn) and no refer scheduler state. Injection reads the stored
+        per-step (Q, K) via ``ctl['slot_of_step']``; background injection
+        reads ``cache['traj'][bg_idx]``. Unlike the in-batch flow, this
+        path composes with encoder reuse (fixed launch shape every step).
+        """
+        key = ("richpre", latent_hw, num_steps, n_styles, use_grad, use_tw,
+               enc_reuse, bf16_guidance, guidance_ds, has_qk, bg_idx, use_bg)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        sched = self.scheduler
+        unet = self.unet
+        vae = AutoencoderKL(
+            self.vae_cfg,
+            dtype=jnp.bfloat16 if bf16_guidance else jnp.float32,
+            remat_blocks=True,
+        )
+        vae_cfg = self.vae_cfg
+        constrain = self._constrain_batch
+        R = n_styles - 1
+
+        @jax.jit
+        def run(params, vae_params, latents, embeds, pooled, time_ids, masks,
+                plan, ctl, cache):
+            st0 = sched.init_state(latents.shape)
+            decode = jax.checkpoint(
+                lambda vp, z: vae.apply(vp, z, method=vae.decode)
+            )
+
+            def unet_fwd(x, t, e, added, controls, capture, enc_cache):
+                emb = unet.apply(params, t, x.shape[0], added,
+                                 method=unet.embed_time)
+
+                def enc_now(_):
+                    return unet.apply(params, x, emb, e, controls, capture,
+                                      method=unet.encode)
+
+                if enc_cache is None:
+                    enc = enc_now(None)
+                else:
+                    gate_enc, cached = enc_cache
+                    enc = jax.lax.cond(gate_enc, enc_now, lambda c: c, cached)
+                eps, aux = unet.apply(params, enc, emb, e, controls, capture,
+                                      method=unet.decode)
+                return eps, aux, enc
+
+            em = jnp.concatenate(
+                [embeds[0:1], embeds[-1:], embeds[1:1 + R]], 0)
+            pm = jnp.concatenate(
+                [pooled[0:1], pooled[-1:], pooled[1:1 + R]], 0)
+            added = {
+                "text_embeds": pm,
+                "time_ids": jnp.tile(time_ids, (R + 2, 1)),
+            }
+            twm = tsm = None
+            if use_tw:
+                twm = jnp.ones((R + 2, 77), jnp.float32).at[1].set(
+                    ctl["tw_rows"][-1])
+                tsm = jnp.ones((R + 2, 77), jnp.float32).at[1].set(
+                    ctl["ts_rows"][-1])
+
+            def _zero_enc():
+                def f(p, lat1, ee):
+                    x = jnp.concatenate([lat1] * (R + 2), axis=0)
+                    emb = unet.apply(p, jnp.int32(0), R + 2, added,
+                                     method=unet.embed_time)
+                    return unet.apply(p, x, emb, ee, None, EMPTY_CAPTURE,
+                                      method=unet.encode)
+
+                shapes = jax.eval_shape(f, params, latents, em)
+                return jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes
+                )
+
+            def body(carry, i):
+                lat, st, enc_carry = carry
+                t = plan.timesteps[i]
+                gate = ctl["inject_gates"][i]
+                x_in = sched.scale_model_input(plan, i, lat)
+                xm = constrain(jnp.concatenate([x_in] * (R + 2), axis=0))
+
+                if has_qk:
+                    slot = ctl["slot_of_step"][i]
+                    inj_qk = {
+                        n: tuple(
+                            jax.lax.dynamic_index_in_dim(b, slot, 0,
+                                                         keepdims=True)
+                            for b in bufs)
+                        for n, bufs in cache["qk"].items()
+                    }
+                    inj_res = {
+                        n: jax.lax.dynamic_index_in_dim(b, slot, 0,
+                                                        keepdims=True)
+                        for n, b in cache["resnet"].items()
+                    }
+                    controls = UNetControls(
+                        token_weights=twm, token_signs=tsm,
+                        inject_gate=gate, inject_qk=inj_qk,
+                        inject_resnet=inj_res, inject_dst=(2, 2 + R),
+                    )
+                else:
+                    controls = UNetControls(token_weights=twm,
+                                            token_signs=tsm)
+
+                epsm, _, enc_x = unet_fwd(
+                    xm, t, em, added, controls, EMPTY_CAPTURE,
+                    (ctl["enc_gates"][i], enc_carry[0]) if enc_reuse
+                    else None,
+                )
+                enc_new = (enc_x,) if enc_reuse else ()
+                epsm = epsm.astype(jnp.float32)
+                eps_uncond = epsm[0:1]
+                eps_base = epsm[1:2]
+                eps_spans = epsm[2:]
+
+                mask_sum = masks.sum(0)
+                noise_uncond = eps_uncond * mask_sum[None]
+                noise_text = eps_base * masks[-1][None]
+                if R > 0:
+                    noise_text = noise_text + (eps_spans * masks[:-1]).sum(
+                        0, keepdims=True
+                    )
+                noise = noise_uncond + ctl["g"] * (noise_text - noise_uncond)
+                lat, st = sched.step(plan, i, st, noise, lat)
+
+                if use_grad:
+                    def color_loss(l):
+                        a = ctl["alpha_raw"][i]
+                        x0 = (l - noise * jnp.sqrt(1 - a)) / jnp.sqrt(a)
+                        if guidance_ds > 1:
+                            d = guidance_ds
+                            _, hh, ww, c = x0.shape
+                            x0 = x0.reshape(
+                                1, hh // d, d, ww // d, d, c
+                            ).mean((2, 4))
+                        imgs = decode(
+                            vae_params,
+                            x0.astype(jnp.float32) / vae_cfg.scaling_factor,
+                        )
+                        imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+                        m = ctl["color_masks_px"]
+                        if guidance_ds > 1:
+                            d = guidance_ds
+                            n, hp, wp = m.shape
+                            m = m.reshape(
+                                n, hp // d, d, wp // d, d
+                            ).mean((2, 4))
+                        num = jnp.einsum("bhwc,nhw->nc", imgs, m)
+                        den = m.sum(axis=(1, 2))[:, None] + 1e-12
+                        per = jnp.mean(
+                            (num / den - ctl["target_rgb"]) ** 2, axis=1
+                        ) * 100.0
+                        return per.sum()
+
+                    lat = jax.lax.cond(
+                        ctl["guidance_gates"][i],
+                        lambda l: l - jax.grad(color_loss)(l)
+                        * ctl["color_w"] * ctl["color_all"],
+                        lambda l: l,
+                        lat,
+                    )
+
+                if use_bg:
+                    # the post-step refer latent at the background step is
+                    # trajectory entry bg_idx (= bg_step + 1)
+                    lat_bg = cache["traj"][bg_idx]
+                    lat = jnp.where(
+                        ctl["bg_gates"][i],
+                        lat_bg * masks[-1][None]
+                        + lat * (1 - masks[-1][None]),
+                        lat,
+                    )
+                return (lat, st, enc_new), None
+
+            enc0 = (_zero_enc(),) if enc_reuse else ()
+            (lat, _, _), _ = jax.lax.scan(
+                body, (latents, st0, enc0), jnp.arange(num_steps)
             )
             return lat
 

@@ -65,6 +65,24 @@ def unet_fwd_flops(model, batch: int, xl: bool) -> float:
     return xla_flops(fn, pstruct, x, t, e)
 
 
+def unet_encode_flops(model, batch: int, xl: bool) -> float:
+    """FLOPs of the down-path only (conv_in + down blocks) — what encoder
+    reuse skips on non-key steps. Executed FLOPs of a reuse-stride run:
+    key_steps × fwd + (steps − key_steps) × (fwd − encode)."""
+    ucfg = model.unet_cfg
+    h = w = ucfg.sample_size
+    dt = model.unet.dtype
+    pstruct = _struct_tree(model.unet_params)
+    x = jax.ShapeDtypeStruct((batch, h, w, ucfg.in_channels), dt)
+    e = jax.ShapeDtypeStruct((batch, 77, ucfg.cross_attention_dim), dt)
+    emb_dim = model.unet_params["params"]["time_embedding"][
+        "linear_2"]["kernel"].shape[1]
+    emb = jax.ShapeDtypeStruct((batch, emb_dim), dt)
+    fn = lambda p, x, emb, e: model.unet.apply(
+        p, x, emb, e, method=model.unet.encode)
+    return xla_flops(fn, pstruct, x, emb, e)
+
+
 def vae_decode_flops(model, batch: int = 1) -> float:
     ucfg = model.unet_cfg
     h = w = ucfg.sample_size
