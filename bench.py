@@ -68,19 +68,12 @@ def _e2e_flops(model, model_kind, steps):
     R = max(len(model.masks) - 1, 1)  # span rows (masks = spans + bg)
     f_plain = unet_fwd_flops(model, 2, xl)
     if xl:
-        # bench XL knobs: inject 0.2 / bg 0.3 → the refer pair rides the
-        # first forward (B=4) only through the trajectory's last use
-        # (region_sdxl.py ref_skip); merged [uncond,base,spans] after
-        inj, bg = 0.2, 0.3
-        n_inject = sum(1 for i in range(steps)
-                       if 999 * (1 - i / (steps - 1)) > (1 - inj) * 1000)
-        last_use = max(int(bg * steps), n_inject - 1)
-        ref_steps = min(last_use + 1, steps)
-        f_rich = (
-            ref_steps * (unet_fwd_flops(model, 4, xl)
-                         + unet_fwd_flops(model, R, xl))
-            + (steps - ref_steps) * unet_fwd_flops(model, R + 2, xl)
-        )
+        # bench XL knobs: inject 0.2 / bg 0.3 with the refer-trajectory
+        # precompute (run_sample default): the plain pass doubles as the
+        # refer trajectory, so the rich scan runs [uncond, base, spans]
+        # (R+2 rows) at EVERY step — no refer rows anywhere
+        # (pipelines/region_sdxl.py:_rich_fn_refpre)
+        f_rich = steps * unet_fwd_flops(model, R + 2, xl)
     else:
         f_rich = steps * (f_plain + unet_fwd_flops(model, R, xl))
     return steps * f_plain + f_rich + 2 * vae_decode_flops(model)

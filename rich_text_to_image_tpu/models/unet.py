@@ -371,6 +371,16 @@ class Attention(nn.Module):
             )
             if inj is not None:
                 qi, ki = inj
+                if qi.ndim == 3:
+                    # pre-split [B, S, C] storage layout (refer-precompute
+                    # buffers keep C=H·hd minor so the TPU (8,128) tiling
+                    # doesn't pad hd → 128); split to [B, H, S, hd] here
+                    qi = qi.reshape(
+                        qi.shape[0], qi.shape[1], self.heads, hd
+                    ).transpose(0, 2, 1, 3)
+                    ki = ki.reshape(
+                        ki.shape[0], ki.shape[1], self.heads, hd
+                    ).transpose(0, 2, 1, 3)
                 gate = controls.inject_gate
                 if (controls.inject_dst is not None
                         and controls.inject_src is None):

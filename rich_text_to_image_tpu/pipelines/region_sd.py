@@ -286,6 +286,9 @@ class RegionDiffusion(MeshDecodeMixin):
         seg_res, self_layers, cross_by_res = self._capture_layout((h, w))
         ref_slots = (tuple(int(s) for s in ref_capture_steps)
                      if ref_capture_steps is not None else None)
+        # release the previous run's cache BEFORE the scan allocates a fresh
+        # one — holding both OOMs HBM on back-to-back produce_attn_maps calls
+        self.ref_cache = None
         fn = self._plain_fn((h, w), plan.num_steps, seg_res, self_layers,
                             tuple(sorted(cross_by_res.items())),
                             ref_slots=ref_slots)
@@ -335,7 +338,10 @@ class RegionDiffusion(MeshDecodeMixin):
         n_slots = len(ref_slots) if with_ref else 0
         ref_extra = dict(qk=True, resnet=frozenset({INJECT_RESNET_NAME}))
         if n_slots:
-            slot_np = np.zeros(num_steps, np.int32)
+            # non-ref steps write to a TRASH slot (index n_slots): the
+            # buffer update stays unconditional in the scan body so XLA
+            # aliases it in place (see RegionDiffusionXL._plain_fn)
+            slot_np = np.full(num_steps, n_slots, np.int32)
             is_ref_np = np.zeros(num_steps, bool)
             for j, s in enumerate(ref_slots):
                 slot_np[s] = j
@@ -354,7 +360,12 @@ class RegionDiffusion(MeshDecodeMixin):
                 cross_probs=frozenset(n for _, ns in cross_items for n in ns)
             )
 
+            lat_flat = lambda l: l.reshape(
+                1, l.shape[1], l.shape[2] * l.shape[3])
             if n_slots:
+                # (Q,K) stored MERGED-HEAD [slots+1, S, C]; trajectory
+                # [S+1, h, w*C] — TPU (8,128) tiling-friendly layouts (see
+                # RegionDiffusionXL._plain_fn)
                 shapes = jax.eval_shape(
                     lambda p, l, e: unet.apply(
                         p, jnp.concatenate([l, l], 0), jnp.int32(0), e,
@@ -363,22 +374,32 @@ class RegionDiffusion(MeshDecodeMixin):
                 )
                 qk0 = {
                     n: tuple(
-                        jnp.zeros((n_slots,) + s.shape[1:], s.dtype)
+                        jnp.zeros(
+                            (n_slots + 1, s.shape[2],
+                             s.shape[1] * s.shape[3]), s.dtype)
                         for s in qk)
                     for n, qk in shapes["self_qk"].items()
                 }
                 res0 = {
-                    n: jnp.zeros((n_slots,) + s.shape[1:], s.dtype)
+                    n: jnp.zeros((n_slots + 1,) + s.shape[1:], s.dtype)
                     for n, s in shapes["resnet_hidden"].items()
                 }
                 slot_arr = jnp.asarray(slot_np)
                 is_ref = jnp.asarray(is_ref_np)
+                qk_zero = {
+                    n: tuple(jnp.zeros(b.shape[1:], b.dtype) for b in bufs)
+                    for n, bufs in qk0.items()
+                }
+                res_zero = {
+                    n: jnp.zeros(b.shape[1:], b.dtype)
+                    for n, b in res0.items()
+                }
             else:
                 qk0, res0 = {}, {}
-            traj0 = (
-                jnp.zeros((num_steps + 1,) + latents.shape, latents.dtype)
-                if with_ref else jnp.zeros((0,) + latents.shape, latents.dtype)
-            )
+            traj0 = jnp.zeros(
+                ((num_steps + 1) if with_ref else 0,
+                 latents.shape[1], latents.shape[2] * latents.shape[3]),
+                latents.dtype)
 
             def body(carry, i):
                 lat, st, self_sum, cross, qk_bufs, res_bufs, traj = carry
@@ -387,7 +408,7 @@ class RegionDiffusion(MeshDecodeMixin):
                     plan, i, jnp.concatenate([lat, lat], axis=0)))
                 if with_ref:
                     traj = jax.lax.dynamic_update_slice(
-                        traj, lat[None], (i, 0, 0, 0, 0))
+                        traj, lat_flat(lat), (i, 0, 0))
 
                 # --- aggregate capture (cond row = 1)
                 # SD quirk parity: self maps overwrite each step (the
@@ -413,8 +434,7 @@ class RegionDiffusion(MeshDecodeMixin):
                     else:
                         spec = base_spec
 
-                    def br(ops):
-                        qk_bufs, res_bufs = ops
+                    def br(_):
                         if spec is None:
                             eps, aux = unet.apply(params, x, t, embeds)
                         else:
@@ -445,25 +465,22 @@ class RegionDiffusion(MeshDecodeMixin):
                             d_cross = tuple(
                                 jnp.zeros_like(c) for c in cross0)
                         if cap_ref:
-                            slot = slot_arr[i]
-                            qk_bufs = {
+                            qk_now = {
                                 n: tuple(
-                                    jax.lax.dynamic_update_slice(
-                                        buf, val[1:2].astype(buf.dtype),
-                                        (slot,) + (0,) * (buf.ndim - 1))
-                                    for buf, val in zip(
-                                        qk_bufs[n], aux["self_qk"][n]))
-                                for n in qk_bufs
+                                    v[1].transpose(1, 0, 2).reshape(
+                                        v.shape[2], -1)
+                                    for v in aux["self_qk"][n])
+                                for n in qk_zero
                             }
-                            res_bufs = {
-                                n: jax.lax.dynamic_update_slice(
-                                    res_bufs[n],
-                                    aux["resnet_hidden"][n][1:2].astype(
-                                        res_bufs[n].dtype),
-                                    (slot,) + (0,) * (res_bufs[n].ndim - 1))
-                                for n in res_bufs
+                            res_now = {
+                                n: aux["resnet_hidden"][n][1]
+                                for n in res_zero
                             }
-                        return eps, new_self, d_cross, qk_bufs, res_bufs
+                        elif n_slots:
+                            qk_now, res_now = qk_zero, res_zero
+                        else:
+                            qk_now, res_now = {}, {}
+                        return eps, new_self, d_cross, qk_now, res_now
 
                     return br
 
@@ -477,8 +494,27 @@ class RegionDiffusion(MeshDecodeMixin):
                         _mk(m, True) for m in range(3)]
                 else:
                     branches = [_mk(m, False) for m in range(3)]
-                eps, new_self, d_cross, qk_bufs, res_bufs = jax.lax.switch(
-                    idx, branches, (qk_bufs, res_bufs))
+                eps, new_self, d_cross, qk_now, res_now = jax.lax.switch(
+                    idx, branches, None)
+                if n_slots:
+                    # unconditional in-place slot write (trash slot absorbs
+                    # non-ref steps)
+                    slot = slot_arr[i]
+                    qk_bufs = {
+                        n: tuple(
+                            jax.lax.dynamic_update_slice(
+                                buf, val[None].astype(buf.dtype),
+                                (slot, 0, 0))
+                            for buf, val in zip(qk_bufs[n], qk_now[n]))
+                        for n in qk_bufs
+                    }
+                    res_bufs = {
+                        n: jax.lax.dynamic_update_slice(
+                            res_bufs[n],
+                            res_now[n][None].astype(res_bufs[n].dtype),
+                            (slot,) + (0,) * (res_bufs[n].ndim - 1))
+                        for n in res_bufs
+                    }
                 new_cross = tuple(c + d for c, d in zip(cross, d_cross))
                 eps = eps.astype(jnp.float32)
                 e = eps[0:1] + g * (eps[1:2] - eps[0:1])
@@ -496,7 +532,7 @@ class RegionDiffusion(MeshDecodeMixin):
             if not with_ref:
                 return lat, self_sum, cross
             traj = jax.lax.dynamic_update_slice(
-                traj, lat[None], (num_steps, 0, 0, 0, 0))
+                traj, lat_flat(lat), (num_steps, 0, 0))
             return lat, self_sum, cross, dict(
                 traj=traj, qk=qk_bufs, resnet=res_bufs)
 
@@ -1235,9 +1271,10 @@ class RegionDiffusion(MeshDecodeMixin):
                         ctl["guidance_gates"][i], guided, lambda l: l, lat
                     )
 
-                # background injection (region_diffusion.py:171-173)
+                # background injection (region_diffusion.py:171-173); the
+                # trajectory is stored [h, w*C], reshape back
                 if use_bg:
-                    lat_bg = cache["traj"][bg_idx]
+                    lat_bg = cache["traj"][bg_idx].reshape(lat.shape)
                     lat = jnp.where(
                         ctl["bg_gates"][i],
                         lat_bg * masks[-1][None] + lat * (1 - masks[-1][None]),

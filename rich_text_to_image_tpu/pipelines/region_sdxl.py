@@ -377,6 +377,10 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 # capture entirely; the rich pass falls back to the in-batch
                 # merged flow
                 ref_slots = None
+            # release the previous run's cache BEFORE the scan allocates a
+            # fresh one — holding both (~0.42 GB/slot at 1024²) OOMs HBM on
+            # back-to-back run_sample calls
+            self.ref_cache = None
             fn = self._plain_fn((h, w), plan.num_steps, seg_res, self_layers,
                                 tuple(sorted(cross_by_res.items())),
                                 ref_slots=ref_slots)
@@ -528,7 +532,12 @@ class RegionDiffusionXL(MeshDecodeMixin):
         capture_both = dataclasses.replace(
             capture, qk=True, resnet=frozenset({INJECT_RESNET_NAME}))
         if n_slots:
-            slot_np = np.zeros(num_steps, np.int32)
+            # non-ref steps write their (zero) capture to a TRASH slot
+            # (index n_slots): the buffer update stays UNCONDITIONAL in the
+            # scan body, which XLA aliases in place — routing the buffers
+            # through lax.switch branches instead materialized whole-buffer
+            # copies per step (observed 4.3 GB over HBM at 1024²)
+            slot_np = np.full(num_steps, n_slots, np.int32)
             is_ref_np = np.zeros(num_steps, bool)
             for j, s in enumerate(ref_slots):
                 slot_np[s] = j
@@ -547,9 +556,12 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 "time_ids": jnp.tile(time_ids, (2, 1)),
             }
 
+            lat_flat = lambda l: l.reshape(
+                1, l.shape[1], l.shape[2] * l.shape[3])
             if n_slots:
-                # zero-init (Q,K)/resnet slot buffers from the capture
-                # forward's abstract shapes
+                # buffer layouts chosen for TPU (8,128) tiling: (Q,K) stored
+                # MERGED-HEAD as [slots+1, S, C] (storing [H, S, hd=64]
+                # would pad hd → 128, doubling HBM); +1 = the trash slot
                 shapes = jax.eval_shape(
                     lambda p, l, e: unet.apply(
                         p, jnp.concatenate([l, l], 0), jnp.int32(0), e,
@@ -558,22 +570,34 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 )
                 qk0 = {
                     n: tuple(
-                        jnp.zeros((n_slots,) + s.shape[1:], s.dtype)
+                        jnp.zeros(
+                            (n_slots + 1, s.shape[2],
+                             s.shape[1] * s.shape[3]), s.dtype)
                         for s in qk)
                     for n, qk in shapes["self_qk"].items()
                 }
                 res0 = {
-                    n: jnp.zeros((n_slots,) + s.shape[1:], s.dtype)
+                    n: jnp.zeros((n_slots + 1,) + s.shape[1:], s.dtype)
                     for n, s in shapes["resnet_hidden"].items()
                 }
                 slot_arr = jnp.asarray(slot_np)
                 is_ref = jnp.asarray(is_ref_np)
+                qk_zero = {
+                    n: tuple(jnp.zeros(b.shape[1:], b.dtype) for b in bufs)
+                    for n, bufs in qk0.items()
+                }
+                res_zero = {
+                    n: jnp.zeros(b.shape[1:], b.dtype)
+                    for n, b in res0.items()
+                }
             else:
                 qk0, res0 = {}, {}
-            traj0 = (
-                jnp.zeros((num_steps + 1,) + latents.shape, latents.dtype)
-                if with_ref else jnp.zeros((0,) + latents.shape, latents.dtype)
-            )
+            # trajectory stored [S+1, h, w*C] (a trailing dim of C=4 would
+            # tile-pad 4 → 128, a 32× expansion)
+            traj0 = jnp.zeros(
+                ((num_steps + 1) if with_ref else 0,
+                 latents.shape[1], latents.shape[2] * latents.shape[3]),
+                latents.dtype)
 
             def body(carry, i):
                 lat, st, self_sum, cross, qk_bufs, res_bufs, traj = carry
@@ -582,19 +606,18 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 x = constrain(sched.scale_model_input(plan, i, x))
                 if with_ref:
                     traj = jax.lax.dynamic_update_slice(
-                        traj, lat[None], (i, 0, 0, 0, 0))
+                        traj, lat_flat(lat), (i, 0, 0))
 
                 # steps before agg_start would compute captures weighted by
                 # zero (the reference runs its hooks and discards) — those
                 # steps run a capture-free forward instead; ref-capture
-                # steps additionally emit (Q,K)+resnet into their slot
+                # steps additionally emit the cond row's (Q,K)+resnet
                 def _mk(cap_agg, cap_ref):
                     spec = (capture_both if (cap_agg and cap_ref)
                             else capture if cap_agg
                             else capture_ref if cap_ref else None)
 
-                    def br(ops):
-                        qk_bufs, res_bufs = ops
+                    def br(_):
                         if spec is None:
                             eps, aux = unet.apply(params, x, t, embeds,
                                                   added_cond=added)
@@ -614,25 +637,23 @@ class RegionDiffusionXL(MeshDecodeMixin):
                         ) if cap_agg else tuple(
                             jnp.zeros_like(c) for c in cross0)
                         if cap_ref:
-                            slot = slot_arr[i]
-                            qk_bufs = {
+                            # cond row → merged-head [S, C]
+                            qk_now = {
                                 n: tuple(
-                                    jax.lax.dynamic_update_slice(
-                                        buf, val[1:2].astype(buf.dtype),
-                                        (slot,) + (0,) * (buf.ndim - 1))
-                                    for buf, val in zip(
-                                        qk_bufs[n], aux["self_qk"][n]))
-                                for n in qk_bufs
+                                    v[1].transpose(1, 0, 2).reshape(
+                                        v.shape[2], -1)
+                                    for v in aux["self_qk"][n])
+                                for n in qk_zero
                             }
-                            res_bufs = {
-                                n: jax.lax.dynamic_update_slice(
-                                    res_bufs[n],
-                                    aux["resnet_hidden"][n][1:2].astype(
-                                        res_bufs[n].dtype),
-                                    (slot,) + (0,) * (res_bufs[n].ndim - 1))
-                                for n in res_bufs
+                            res_now = {
+                                n: aux["resnet_hidden"][n][1]
+                                for n in res_zero
                             }
-                        return eps, d_self, d_cross, qk_bufs, res_bufs
+                        elif n_slots:
+                            qk_now, res_now = qk_zero, res_zero
+                        else:
+                            qk_now, res_now = {}, {}
+                        return eps, d_self, d_cross, qk_now, res_now
 
                     return br
 
@@ -640,20 +661,36 @@ class RegionDiffusionXL(MeshDecodeMixin):
                 if n_slots:
                     idx = is_agg.astype(jnp.int32) + 2 * is_ref[i].astype(
                         jnp.int32)
-                    eps, d_self, d_cross, qk_bufs, res_bufs = jax.lax.switch(
+                    eps, d_self, d_cross, qk_now, res_now = jax.lax.switch(
                         idx,
                         [_mk(False, False), _mk(True, False),
                          _mk(False, True), _mk(True, True)],
-                        (qk_bufs, res_bufs),
+                        None,
                     )
+                    # UNCONDITIONAL in-place slot write (trash slot absorbs
+                    # non-ref steps) — keeps the big buffers aliasable
+                    slot = slot_arr[i]
+                    qk_bufs = {
+                        n: tuple(
+                            jax.lax.dynamic_update_slice(
+                                buf, val[None].astype(buf.dtype),
+                                (slot, 0, 0))
+                            for buf, val in zip(qk_bufs[n], qk_now[n]))
+                        for n in qk_bufs
+                    }
+                    res_bufs = {
+                        n: jax.lax.dynamic_update_slice(
+                            res_bufs[n],
+                            res_now[n][None].astype(res_bufs[n].dtype),
+                            (slot,) + (0,) * (res_bufs[n].ndim - 1))
+                        for n in res_bufs
+                    }
                 elif agg_start > 0:
-                    eps, d_self, d_cross, qk_bufs, res_bufs = jax.lax.cond(
-                        is_agg, _mk(True, False), _mk(False, False),
-                        (qk_bufs, res_bufs),
+                    eps, d_self, d_cross, _, _ = jax.lax.cond(
+                        is_agg, _mk(True, False), _mk(False, False), None,
                     )
                 else:
-                    eps, d_self, d_cross, qk_bufs, res_bufs = _mk(
-                        True, False)((qk_bufs, res_bufs))
+                    eps, d_self, d_cross, _, _ = _mk(True, False)(None)
                 # SDXL accumulates self maps over steps (no overwrite quirk)
                 self_sum = self_sum + d_self
                 cross = tuple(c + d for c, d in zip(cross, d_cross))
@@ -673,7 +710,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
             if not with_ref:
                 return lat, self_sum, cross
             traj = jax.lax.dynamic_update_slice(
-                traj, lat[None], (num_steps, 0, 0, 0, 0))
+                traj, lat_flat(lat), (num_steps, 0, 0))
             return lat, self_sum, cross, dict(
                 traj=traj, qk=qk_bufs, resnet=res_bufs)
 
@@ -1341,8 +1378,9 @@ class RegionDiffusionXL(MeshDecodeMixin):
 
                 if use_bg:
                     # the post-step refer latent at the background step is
-                    # trajectory entry bg_idx (= bg_step + 1)
-                    lat_bg = cache["traj"][bg_idx]
+                    # trajectory entry bg_idx (= bg_step + 1); stored
+                    # [h, w*C] (tiling-friendly), reshape back
+                    lat_bg = cache["traj"][bg_idx].reshape(lat.shape)
                     lat = jnp.where(
                         ctl["bg_gates"][i],
                         lat_bg * masks[-1][None]

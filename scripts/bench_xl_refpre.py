@@ -12,14 +12,15 @@ inject_selfattn 0.2 / inject_background 0.3, 1024²) under:
 
 Each case: one warmup (compile) + min-of-2 timed e2e runs.
 
-Usage: PYTHONPATH=/root/.axon_site:. python scripts/bench_xl_refpre.py
+Usage: PYTHONPATH=/root/.axon_site:. python scripts/bench_xl_refpre.py \
+    [case ...]   # default: all cases
 """
 import json
 import sys
 import time
 
 
-def main():
+def main(only=()):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/rtxi_jax_cache")
@@ -39,6 +40,8 @@ def main():
         ("refpre_er2_bf16vae", ["--encoder_reuse", "2",
                                 "--encoder_schedule", "early", "--bf16_vae"]),
     ]
+    if only:
+        cases = [c for c in cases if c[0] in only]
     model = None
     built_with_bf16vae = False
     for tag, extra in cases:
@@ -70,4 +73,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(tuple(sys.argv[1:]))
