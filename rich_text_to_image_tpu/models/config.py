@@ -47,6 +47,16 @@ class UNetConfig:
     addition_embed_type: str | None = None  # "text_time" for SDXL
     addition_time_embed_dim: int = 256
     projection_class_embeddings_input_dim: int = 2816
+    # dual cross-attention (versatile-diffusion-style): every attention
+    # block runs TWO transformer streams over a concatenated condition
+    # sequence, mixing their residual deltas. Mirrors the reference's
+    # DualTransformer2DModel capability (models/dual_transformer_2d.py:21-151)
+    # — unused by the SD-1.5/SDXL configs, kept for checkpoint families
+    # that set diffusers' ``dual_cross_attention=True``.
+    dual_cross_attention: bool = False
+    dual_condition_lengths: Sequence[int] = (77, 257)
+    dual_transformer_index: Sequence[int] = (1, 0)
+    dual_mix_ratio: float = 0.5
 
     @property
     def heads_per_level(self) -> tuple[int, ...]:

@@ -527,6 +527,76 @@ class Transformer2D(nn.Module):
         return h + residual
 
 
+class DualTransformer2D(nn.Module):
+    """Two-stream transformer for dual-conditioned checkpoints.
+
+    Behavioral contract of the reference's ``DualTransformer2DModel``
+    (models/dual_transformer_2d.py:97-151): ``context`` is the
+    concatenation of two condition sequences (lengths
+    ``condition_lengths``); condition ``i`` is encoded by stream
+    ``transformer_index[i]``; the two residual deltas are mixed by
+    ``mix_ratio`` and added back to the input. Never instantiated by the
+    SD-1.5/SDXL configs — both streams share ``kv_dim`` like the
+    reference's twin ``Transformer2DModel``s.
+
+    TPU note: both streams always run (static graph — no data-dependent
+    dispatch); the split points are static so XLA sees two fixed-shape
+    attention programs per call.
+    """
+
+    heads: int
+    dim: int
+    depth: int
+    kv_dim: int
+    use_linear_projection: bool
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+    layer_name: str = ""
+    condition_lengths: tuple[int, int] = (77, 257)
+    transformer_index: tuple[int, int] = (1, 0)
+    mix_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, context, controls, capture, aux):
+        streams = [
+            Transformer2D(
+                self.heads, self.dim, self.depth, self.kv_dim,
+                self.use_linear_projection, self.groups, self.dtype,
+                name=f"transformers_{j}",
+                layer_name=f"{self.layer_name}.transformers.{j}",
+            )
+            for j in range(2)
+        ]
+        deltas = []
+        start = 0
+        for i in range(2):
+            cond = context[:, start:start + self.condition_lengths[i]]
+            out = streams[self.transformer_index[i]](
+                x, cond, controls, capture, aux)
+            deltas.append(out - x)
+            start += self.condition_lengths[i]
+        return x + deltas[0] * self.mix_ratio + deltas[1] * (
+            1.0 - self.mix_ratio)
+
+
+def _attn_transformer(cfg, heads, channels, depth, dtype, name, layer_name):
+    """The attention block's transformer: dual-stream iff the config asks."""
+    if cfg.dual_cross_attention:
+        return DualTransformer2D(
+            heads, channels, depth, cfg.cross_attention_dim,
+            cfg.use_linear_projection, cfg.norm_num_groups, dtype,
+            name=name, layer_name=layer_name,
+            condition_lengths=tuple(cfg.dual_condition_lengths),
+            transformer_index=tuple(cfg.dual_transformer_index),
+            mix_ratio=cfg.dual_mix_ratio,
+        )
+    return Transformer2D(
+        heads, channels, depth, cfg.cross_attention_dim,
+        cfg.use_linear_projection, cfg.norm_num_groups, dtype,
+        name=name, layer_name=layer_name,
+    )
+
+
 # -------------------------------------------------------------------- blocks
 class CrossAttnDownBlock(nn.Module):
     cfg: UNetConfig
@@ -545,12 +615,10 @@ class CrossAttnDownBlock(nn.Module):
                 self.out_channels, self.cfg.norm_num_groups, self.dtype,
                 name=f"resnets_{i}", layer_name=f"{self.layer_name}.resnets.{i}",
             )(x, temb, controls)
-            x = Transformer2D(
-                self.heads, self.out_channels, self.depth,
-                self.cfg.cross_attention_dim, self.cfg.use_linear_projection,
-                self.cfg.norm_num_groups, self.dtype,
-                name=f"attentions_{i}",
-                layer_name=f"{self.layer_name}.attentions.{i}",
+            x = _attn_transformer(
+                self.cfg, self.heads, self.out_channels, self.depth,
+                self.dtype, f"attentions_{i}",
+                f"{self.layer_name}.attentions.{i}",
             )(x, context, controls, capture, aux)
             skips.append(x)
         if self.add_downsample:
@@ -603,12 +671,10 @@ class CrossAttnUpBlock(nn.Module):
             )(x, temb, controls)
             if rname in capture.resnet and aux is not None:
                 aux.setdefault("resnet_hidden", {})[rname] = hidden
-            x = Transformer2D(
-                self.heads, self.out_channels, self.depth,
-                self.cfg.cross_attention_dim, self.cfg.use_linear_projection,
-                self.cfg.norm_num_groups, self.dtype,
-                name=f"attentions_{i}",
-                layer_name=f"{self.layer_name}.attentions.{i}",
+            x = _attn_transformer(
+                self.cfg, self.heads, self.out_channels, self.depth,
+                self.dtype, f"attentions_{i}",
+                f"{self.layer_name}.attentions.{i}",
             )(x, context, controls, capture, aux)
         if self.add_upsample:
             B, H, W, C = x.shape
@@ -656,11 +722,9 @@ class MidBlock(nn.Module):
             self.channels, self.cfg.norm_num_groups, self.dtype,
             name="resnets_0", layer_name=f"{self.layer_name}.resnets.0",
         )(x, temb, controls)
-        x = Transformer2D(
-            self.heads, self.channels, self.depth,
-            self.cfg.cross_attention_dim, self.cfg.use_linear_projection,
-            self.cfg.norm_num_groups, self.dtype,
-            name="attentions_0", layer_name=f"{self.layer_name}.attentions.0",
+        x = _attn_transformer(
+            self.cfg, self.heads, self.channels, self.depth, self.dtype,
+            "attentions_0", f"{self.layer_name}.attentions.0",
         )(x, context, controls, capture, aux)
         x, _ = ResnetBlock(
             self.channels, self.cfg.norm_num_groups, self.dtype,
