@@ -72,8 +72,16 @@ def _e2e_flops(model, model_kind, steps):
         # precompute (run_sample default): the plain pass doubles as the
         # refer trajectory, so the rich scan runs [uncond, base, spans]
         # (R+2 rows) at EVERY step — no refer rows anywhere
-        # (pipelines/region_sdxl.py:_rich_fn_refpre)
-        f_rich = steps * unet_fwd_flops(model, R + 2, xl)
+        # (pipelines/region_sdxl.py:_rich_fn_refpre). The bench also runs
+        # encoder reuse stride 2 'early' (eval-gated, see _run), so MFU
+        # counts EXECUTED FLOPs: the down path is skipped on non-key steps.
+        from rich_text_to_image_tpu.pipelines.base import encoder_key_gates
+        from rich_text_to_image_tpu.utils.flops import unet_encode_flops
+
+        f_full = unet_fwd_flops(model, R + 2, xl)
+        f_enc = unet_encode_flops(model, R + 2, xl)
+        n_key = int(encoder_key_gates(steps, 2, "early").sum())
+        f_rich = n_key * f_full + (steps - n_key) * (f_full - f_enc)
     else:
         f_rich = steps * (f_plain + unet_fwd_flops(model, R, xl))
     return steps * f_plain + f_rich + 2 * vae_decode_flops(model)
@@ -90,8 +98,16 @@ def _run(model_kind):
                 "--run_dir", "/tmp/bench_out"]
         height = width = 512
     else:
+        # --encoder_reuse 2 'early' is the one non-exact knob in the bench
+        # config: eval-gated on the trained color fixture (steering margin
+        # preserved, region-color distance within 0.05 of exact —
+        # tests/test_color_fixture.py) and measured against the exact run
+        # on-chip (exact refpre 3.91 img/min vs 4.31 with reuse;
+        # artifacts/round4_perf/bench_xl_refpre.jsonl). Everything else
+        # (refer-trajectory precompute) is output-exact.
         argv = ["--model", "SDXL", "--random_weights", "--sample_steps", "50",
                 "--inject_selfattn", "0.2", "--inject_background", "0.3",
+                "--encoder_reuse", "2", "--encoder_schedule", "early",
                 "--run_dir", "/tmp/bench_out_xl"]
         height = width = 1024
     args = make_parser().parse_args(argv)
