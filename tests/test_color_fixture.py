@@ -90,6 +90,39 @@ def test_gds2_tracks_exact_on_trained_decoder(model):
     assert d_gds2 < d_plain - 0.03, (d_gds2, d_plain)
 
 
+def test_bf16_decode_tracks_fp32_on_trained_decoder(model):
+    """Eval gate for `--bf16_vae`: on a trained (color-faithful) decoder,
+    a bf16 decode must preserve round-trip color fidelity and track the
+    fp32 decode pixel-for-pixel at sub-uint8-step scale. bf16 keeps fp32
+    RANGE, so the reference's fp16-overflow workaround
+    (region_diffusion_sdxl.py:916-917) does not apply; its efficient
+    variant already casts the VAE to bf16 for guidance decodes
+    (region_diffusion_sdxl_efficient.py:850-855)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rich_text_to_image_tpu.utils.colors import COLORS
+
+    px = model.unet_cfg.sample_size * model.vae_scale_factor
+    rgbs = np.asarray(list(COLORS.values()), np.float32) / 255.0
+    probe = np.stack([np.full((px, px, 3), c, np.float32) * 2 - 1
+                      for c in rgbs])
+    z = model.vae.apply(model.vae_params, jnp.asarray(probe),
+                        method=model.vae.encode)
+    z = z / model.vae_cfg.scaling_factor
+    d32 = np.asarray(model.vae.apply(model.vae_params, z,
+                                     method=model.vae.decode), np.float64)
+    vae_b = type(model.vae)(model.vae_cfg, dtype=jnp.bfloat16)
+    p_b = jax.tree.map(lambda x: x.astype(jnp.bfloat16), model.vae_params)
+    db = np.asarray(vae_b.apply(p_b, z.astype(jnp.bfloat16),
+                                method=vae_b.decode), np.float64)
+    # color fidelity unchanged (CPU-measured: 0.0235 vs fp32's 0.0233)
+    assert np.abs(db - probe).mean() / 2.0 < 0.08
+    # pixel tracking (CPU-measured: mean 0.0016, max 0.0093 in [0,1] RGB)
+    assert np.abs(db - d32).mean() / 2.0 < 0.01, np.abs(db - d32).mean()
+    assert np.abs(db - d32).max() / 2.0 < 0.04, np.abs(db - d32).max()
+
+
 def test_encoder_reuse_preserves_steering(model):
     """Eval gate for `--encoder_reuse 2 --encoder_schedule early` (Faster
     Diffusion, arXiv 2312.09608): on the trained decoder, guidance under
