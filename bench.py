@@ -55,35 +55,30 @@ def _e2e_flops(model, model_kind, steps):
     (text encode, capture aggregation einsums, spectral segmentation,
     resizes) are bandwidth-light, so the reported MFU is a slight
     UNDERestimate. Row structure per step (pipelines/region_sd.py /
-    region_sdxl.py): plain pass = one B=2 CFG forward; rich pass =
-    one B=2 (uncond+base) + one B=R span forward, plus — when the refer
-    trajectory runs (the SDXL bench sets injection 0.2/0.3) — the refer
-    pair rides the first forward, making it B=4.
+    region_sdxl.py): plain pass = one B=2 CFG forward; rich pass = one
+    [uncond, base, spans] (R+2)-row forward (refer-trajectory precompute
+    keeps refer rows out of the rich scan even with injection on).
     """
+    from rich_text_to_image_tpu.pipelines.base import encoder_key_gates
     from rich_text_to_image_tpu.utils.flops import (
-        unet_fwd_flops, vae_decode_flops,
+        unet_encode_flops, unet_fwd_flops, vae_decode_flops,
     )
 
     xl = model_kind == "sdxl"
     R = max(len(model.masks) - 1, 1)  # span rows (masks = spans + bg)
     f_plain = unet_fwd_flops(model, 2, xl)
-    if xl:
-        # bench XL knobs: inject 0.2 / bg 0.3 with the refer-trajectory
-        # precompute (run_sample default): the plain pass doubles as the
-        # refer trajectory, so the rich scan runs [uncond, base, spans]
-        # (R+2 rows) at EVERY step — no refer rows anywhere
-        # (pipelines/region_sdxl.py:_rich_fn_refpre). The bench also runs
-        # encoder reuse stride 2 'early' (eval-gated, see _run), so MFU
-        # counts EXECUTED FLOPs: the down path is skipped on non-key steps.
-        from rich_text_to_image_tpu.pipelines.base import encoder_key_gates
-        from rich_text_to_image_tpu.utils.flops import unet_encode_flops
-
-        f_full = unet_fwd_flops(model, R + 2, xl)
-        f_enc = unet_encode_flops(model, R + 2, xl)
-        n_key = int(encoder_key_gates(steps, 2, "early").sum())
-        f_rich = n_key * f_full + (steps - n_key) * (f_full - f_enc)
-    else:
-        f_rich = steps * (f_plain + unet_fwd_flops(model, R, xl))
+    # Both benches' rich scans run one [uncond, base/spans] (R+2)-row launch
+    # per step. SDXL additionally sets inject 0.2 / bg 0.3, but with the
+    # refer-trajectory precompute (run_sample default) the plain pass doubles
+    # as the refer trajectory, so no refer rows appear anywhere
+    # (pipelines/region_sdxl.py:_rich_fn_refpre; region_sd.py:_rich_fn else
+    # branch for the injection-free SD workload). Both benches also run
+    # encoder reuse stride 2 'early' (eval-gated, see _run), so MFU counts
+    # EXECUTED FLOPs: the down path is skipped on non-key steps.
+    f_full = unet_fwd_flops(model, R + 2, xl)
+    f_enc = unet_encode_flops(model, R + 2, xl)
+    n_key = int(encoder_key_gates(steps, 2, "early").sum())
+    f_rich = n_key * f_full + (steps - n_key) * (f_full - f_enc)
     return steps * f_plain + f_rich + 2 * vae_decode_flops(model)
 
 
@@ -94,20 +89,34 @@ def _run(model_kind):
     )
 
     if model_kind == "sd15":
+        # --encoder_reuse 2 'early' on the rich pass is the one non-exact
+        # knob (same eval gate as the XL bench — the gate itself drives this
+        # SD pipeline: tests/test_color_fixture.py::
+        # test_encoder_reuse_preserves_steering). The plain/capture pass
+        # stays exact, so token maps and the refer trajectory are untouched.
+        # On-chip A/B at the driver workload: exact 20.77 img/min vs er2
+        # 23.36 under identical host load (scripts/bench_sd_er2.py).
         argv = ["--model", "SD", "--random_weights", "--sample_steps", "50",
+                "--encoder_reuse", "2", "--encoder_schedule", "early",
                 "--run_dir", "/tmp/bench_out"]
         height = width = 512
     else:
-        # --encoder_reuse 2 'early' is the one non-exact knob in the bench
-        # config: eval-gated on the trained color fixture (steering margin
-        # preserved, region-color distance within 0.05 of exact —
-        # tests/test_color_fixture.py) and measured against the exact run
-        # on-chip (exact refpre 3.91 img/min vs 4.31 with reuse;
-        # artifacts/round4_perf/bench_xl_refpre.jsonl). Everything else
-        # (refer-trajectory precompute) is output-exact.
+        # Two non-exact knobs in the bench config, both eval-gated on the
+        # trained color fixture (tests/test_color_fixture.py) and A/B'd
+        # on-chip (artifacts/round4_perf/bench_xl_refpre.jsonl):
+        #   --encoder_reuse 2 'early' — steering margin preserved,
+        #     region-color distance within 0.05 of exact; exact refpre
+        #     3.91 img/min vs 4.31 with reuse.
+        #   --bf16_vae — the image decode runs the VAE in bf16 (fp32 range;
+        #     the reference's efficient variant itself casts the VAE down,
+        #     region_diffusion_sdxl_efficient.py:850-855); gate: bf16
+        #     tracks fp32 pixels at mean 0.0016 / max 0.0093 in [0,1] RGB
+        #     (sub-uint8-step) on the trained decoder; 4.31 → 4.41 img/min.
+        # Everything else (refer-trajectory precompute) is output-exact.
         argv = ["--model", "SDXL", "--random_weights", "--sample_steps", "50",
                 "--inject_selfattn", "0.2", "--inject_background", "0.3",
                 "--encoder_reuse", "2", "--encoder_schedule", "early",
+                "--bf16_vae",
                 "--run_dir", "/tmp/bench_out_xl"]
         height = width = 1024
     args = make_parser().parse_args(argv)
