@@ -28,7 +28,7 @@ async (text_input) => {
 def run_generate(model, resolution, text_input, negative_prompt, seed, steps,
                  guidance_weight, color_guidance_weight, inject_selfattn,
                  inject_background, segment_threshold, num_segments,
-                 encoder_reuse=1, guidance_downsample=1,
+                 encoder_reuse=1, guidance_downsample=1, ref_precompute=True,
                  error_cls=ValueError, vis_dir="/tmp/gradio_vis"):
     """The demo's full request contract as a pure function (testable without
     gradio/browser): rich-text JSON string → [plain image, rich image,
@@ -63,9 +63,12 @@ def run_generate(model, resolution, text_input, negative_prompt, seed, steps,
     h = w = resolution
     f = model.vae_scale_factor
     # refer-trajectory precompute (see cli/sample.py run_sample): the plain
-    # pass doubles as the reference trajectory the injected rich pass needs
+    # pass doubles as the reference trajectory the injected rich pass needs.
+    # ``ref_precompute=False`` mirrors the CLI's --no_ref_precompute opt-out
+    # so the reference-shaped in-batch flow stays reachable from the demo.
     ref_kw = {}
-    if ((inject_selfattn > 0 or inject_background > 0)
+    if (ref_precompute
+            and (inject_selfattn > 0 or inject_background > 0)
             and hasattr(model, "_rich_fn_refpre")):
         plan = model.scheduler.plan(int(steps))
         gates = np.asarray(plan.timesteps, np.float64) > (
@@ -150,12 +153,13 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
     def generate(text_input, negative_prompt, seed, steps, guidance_weight,
                  color_guidance_weight, inject_selfattn, inject_background,
                  segment_threshold, num_segments, encoder_reuse=1,
-                 guidance_downsample=1):
+                 guidance_downsample=1, ref_precompute=True):
         return run_generate(
             model, default_res, text_input, negative_prompt, seed, steps,
             guidance_weight, color_guidance_weight, inject_selfattn,
             inject_background, segment_threshold, num_segments,
-            encoder_reuse, guidance_downsample, error_cls=gr.Error,
+            encoder_reuse, guidance_downsample, ref_precompute,
+            error_cls=gr.Error,
         )
 
     editor_path = os.path.join(os.path.dirname(__file__), "editor.html")
@@ -198,6 +202,12 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
                 info="1 = exact; d>1 computes the color-guidance gradient "
                      "at 1/d resolution — faster, approximate",
             )
+            refpre = gr.Checkbox(
+                value=True, label="refer precompute",
+                info="capture the refer trajectory in the plain pass "
+                     "(output-exact, faster); untick to run the "
+                     "reference-shaped in-batch flow (--no_ref_precompute)",
+            )
         btn = gr.Button("Generate")
         with gr.Row(elem_id="outputs"):
             outs = [gr.Image(label=n) for n in
@@ -206,11 +216,11 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
         share.click(None, [], [], js=COMMUNITY_JS)
         inputs = [text_input, negative, seed, steps, guidance, colorw,
                   inj_s, inj_b, seg_t, num_seg]
-        # turbo + guidance-downsample ride only the live button — example
-        # banks keep the exact 10-column reference knob set (generate
-        # defaults both to 1)
-        btn.click(generate, inputs=inputs + [turbo, guid_ds], outputs=outs,
-                  js=GET_JS_DATA)
+        # turbo / guidance-downsample / ref-precompute ride only the live
+        # button — example banks keep the exact 10-column reference knob
+        # set (generate defaults: 1, 1, True)
+        btn.click(generate, inputs=inputs + [turbo, guid_ds, refpre],
+                  outputs=outs, js=GET_JS_DATA)
         # example banks (cached as golden demos when real weights exist,
         # reference gradio_app.py:264-508 cache_examples=True)
         for suite, rows in example_rows(model_kind).items():

@@ -274,7 +274,9 @@ def apply_lora_unet(unet_params, lora_sd: Mapping[str, np.ndarray],
         proj = path[-2]
         if proj not in _LORA_PROJ:
             continue
-        base = _unet_rule(path)  # "<module>.to_q.weight" / ".to_out.0.weight"
+        # strip the flax "params" root — diffusers names never carry it
+        # (round-4 bug: the prefixed lookup matched no real checkpoint key)
+        base = _unet_rule(path[1:] if path[0] == "params" else path)
         mod = base.rsplit(f".{proj}.", 1)[0]
         down_k = f"{mod}.processor.{_LORA_PROJ[proj]}.down.weight"
         up_k = f"{mod}.processor.{_LORA_PROJ[proj]}.up.weight"
@@ -298,6 +300,63 @@ def apply_lora_unet(unet_params, lora_sd: Mapping[str, np.ndarray],
             f"(key-mapping drift?): {unused[:6]}...")
     if n_merged == 0:
         raise ValueError("LoRA: state dict contained no LoRA tensors")
+    return _unflatten(out)
+
+
+# ---------------------------------------------------------------- text LoRA
+def apply_lora_text(text_params, lora_sd: Mapping[str, np.ndarray],
+                    scale: float = 1.0):
+    """Merge diffusers-format CLIP text-encoder LoRA into converted params.
+
+    Completes the ``LoraLoaderMixin`` contract the reference inherits
+    (reference models/region_diffusion_sdxl.py:10,:56): ``load_lora_weights``
+    also patches the text encoder's attention projections with rank-r
+    pairs, serialized as
+    ``text_encoder.text_model.encoder.layers.<i>.self_attn.<proj>_proj
+    .lora_linear_layer.{down,up}.weight`` (the ``.lora.`` infix of older
+    diffusers is tolerated). As with :func:`apply_lora_unet`, the pair is
+    merged at load time — ``W' = W + scale · up @ down`` — identical for
+    inference, zero runtime cost. Returns a NEW params pytree; raises on
+    unmatched LoRA tensors or when none are found.
+    """
+    lora_sd = {k.removeprefix("text_encoder."): np.asarray(v)
+               for k, v in lora_sd.items()}
+    flat = _flatten(text_params)
+    used: set[str] = set()
+    out = {}
+    n_merged = 0
+    for path, leaf in flat.items():
+        out[path] = leaf
+        if path[-1] != "kernel" or len(path) < 2 or not path[-2].endswith(
+                "_proj"):
+            continue
+        mod = _clip_text_rule(
+            path[1:] if path[0] == "params" else path
+        ).removesuffix(".weight")
+        down = up = None
+        for infix in ("lora_linear_layer", "lora"):
+            dk, uk = (f"{mod}.{infix}.down.weight", f"{mod}.{infix}.up.weight")
+            if dk in lora_sd or uk in lora_sd:
+                down, up = lora_sd[dk], lora_sd[uk]
+                used.update((dk, uk))
+                break
+        if down is None:
+            continue
+        delta = (up @ down).T  # torch [out,in] pair → flax kernel [in, out]
+        if delta.shape != leaf.shape:
+            raise ValueError(
+                f"text LoRA shape mismatch at {path}: delta {delta.shape} "
+                f"vs kernel {leaf.shape}")
+        out[path] = (leaf + jnp.asarray(scale * delta, leaf.dtype)
+                     ).astype(leaf.dtype)
+        n_merged += 1
+    unused = sorted(k for k in lora_sd if k not in used)
+    if unused:
+        raise ValueError(
+            f"text LoRA: {len(unused)} tensors matched no projection "
+            f"(key-mapping drift?): {unused[:6]}...")
+    if n_merged == 0:
+        raise ValueError("text LoRA: state dict contained no LoRA tensors")
     return _unflatten(out)
 
 

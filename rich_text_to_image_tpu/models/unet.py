@@ -558,6 +558,15 @@ class DualTransformer2D(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, controls, capture, aux):
+        if tuple(sorted(self.transformer_index)) != (0, 1):
+            # the reference always instantiates BOTH streams; a degenerate
+            # routing like (0, 0) would leave the unused stream's params
+            # uncreated under flax lazy init, so loading a real dual
+            # checkpoint would fail with a param-structure mismatch
+            raise ValueError(
+                "transformer_index must be a permutation of (0, 1), got "
+                f"{self.transformer_index}"
+            )
         streams = [
             Transformer2D(
                 self.heads, self.dim, self.depth, self.kv_dim,

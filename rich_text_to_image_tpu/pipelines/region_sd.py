@@ -50,7 +50,8 @@ from ..utils.registries import (
     attn_layer_resolutions,
 )
 from ..utils.token_maps import SEG_RESOLUTION, AttnAggregates
-from .base import MeshDecodeMixin, encoder_key_gates
+from .base import (MeshDecodeMixin, encoder_key_gates,
+                   ref_cache_matches, ref_fingerprint)
 
 
 @dataclasses.dataclass
@@ -243,6 +244,25 @@ class RegionDiffusion(MeshDecodeMixin):
                 cross_by_res[r] += (n,)
         return seg_res, self_layers, cross_by_res
 
+    def _ref_capture_aux_shapes(self, latent_hw):
+        """Abstract aux shapes of one refer-capture UNet row (all attn1
+        (Q,K) + the inject-resnet feature) — feeds the shared
+        ``_ref_qk_bytes_per_slot`` HBM guard (pipelines/base.py)."""
+        h, w = latent_hw
+        spec = CaptureSpec(qk=True, resnet=frozenset({INJECT_RESNET_NAME}))
+        pstruct = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            self.unet_params)
+        dt = self.unet.dtype
+        x = jax.ShapeDtypeStruct((1, h, w, self.unet_cfg.in_channels), dt)
+        e = jax.ShapeDtypeStruct(
+            (1, 77, self.unet_cfg.cross_attention_dim), dt)
+        return jax.eval_shape(
+            lambda p, x, e: self.unet.apply(
+                p, x, jnp.int32(0), e, capture=spec)[1],
+            pstruct, x, e,
+        )
+
     # ------------------------------------------------------------ plain pass
     def produce_attn_maps(
         self,
@@ -286,6 +306,14 @@ class RegionDiffusion(MeshDecodeMixin):
         seg_res, self_layers, cross_by_res = self._capture_layout((h, w))
         ref_slots = (tuple(int(s) for s in ref_capture_steps)
                      if ref_capture_steps is not None else None)
+        if ref_slots and (
+            self._ref_qk_bytes_per_slot((h, w)) * len(ref_slots)
+            > self.ref_precompute_max_bytes
+        ):
+            # (Q,K) slots would not fit HBM alongside params — skip the
+            # capture entirely; the rich pass falls back to the in-batch
+            # merged flow (same guard as RegionDiffusionXL)
+            ref_slots = None
         # release the previous run's cache BEFORE the scan allocates a fresh
         # one — holding both OOMs HBM on back-to-back produce_attn_maps calls
         self.ref_cache = None
@@ -299,6 +327,12 @@ class RegionDiffusion(MeshDecodeMixin):
         if ref_slots is not None:
             lat, self_sum, cross_sums, cache = out
             cache["steps"] = ref_slots
+            # validity metadata: a later rich call only trusts this cache
+            # if its guidance scale, resolution, initial latent and
+            # uncond/base prompt rows all match (ref_cache_matches)
+            cache["g"] = float(guidance_scale)
+            cache["hw"] = (h, w)
+            cache["fp"] = ref_fingerprint(latents, embeds[0], embeds[-1])
             self.ref_cache = cache
         else:
             lat, self_sum, cross_sums = out
@@ -788,11 +822,16 @@ class RegionDiffusion(MeshDecodeMixin):
             gds = 1  # non-divisible shapes: fall back to the exact path
 
         if ref_cache is not None and run_reference:
-            # precomputed refer trajectory (see RegionDiffusionXL): valid
-            # only if captured at exactly this run's injection steps
+            # precomputed refer trajectory (see RegionDiffusionXL): trusted
+            # only if captured at exactly this run's injection steps AND
+            # under the same guidance scale, resolution, initial latent and
+            # uncond/base prompt rows (content fingerprint) — otherwise
+            # fall back to the reference-shaped in-batch flow below
             want = tuple(np.nonzero(inject_gates)[0].tolist())
-            if (tuple(ref_cache.get("steps", ())) == want
-                    and ref_cache["traj"].shape[0] == S + 1):
+            fp = ref_fingerprint(latents, text_embeddings[0],
+                                 text_embeddings[-1])
+            if ref_cache_matches(ref_cache, want, S,
+                                 spec.guidance_scale, (h, w), fp):
                 fn = self._rich_fn_refpre(
                     (h, w), S, n_styles, use_grad, tw is not None,
                     stride > 1, use_grad and spec.bf16_guidance, gds,

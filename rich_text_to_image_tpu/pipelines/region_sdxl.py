@@ -43,7 +43,8 @@ from ..ops.attention import make_token_weight_vectors
 from ..schedulers import EulerDiscreteScheduler
 from ..utils.registries import CrossAttentionLayers_XL, attn_layer_resolutions
 from ..utils.token_maps import SEG_RESOLUTION, AttnAggregates
-from .base import MeshDecodeMixin, encoder_key_gates
+from .base import (MeshDecodeMixin, encoder_key_gates,
+                   ref_cache_matches, ref_fingerprint)
 from .region_sd import RichControlSpec, _plan_arrays
 
 
@@ -264,8 +265,22 @@ class RegionDiffusionXL(MeshDecodeMixin):
 
             imgs = sliced_decode(self._decode, np.asarray(latents))
         else:
-            return np.asarray(self._decode_u8(latents))
-        return (imgs * 255).round().astype(np.uint8)
+            return np.asarray(self._watermarked(self._decode_u8(latents)))
+        u8 = (imgs * 255).round().astype(np.uint8)
+        return np.asarray(self._watermarked(u8))
+
+    def _watermarked(self, images_u8):
+        """Every decoded SDXL image carries the invisible watermark, like
+        the reference (region_diffusion_sdxl.py:127,:943 —
+        StableDiffusionXLWatermarker on the decoded batch). Images narrower
+        than 256 px pass through (the reference encoder's own gate).
+        ``self.watermark = None`` opts out (the reference has no opt-out;
+        exposed for eval pipelines comparing raw pixels)."""
+        if getattr(self, "watermark", True) is None:
+            return images_u8
+        from ..utils.watermark import apply_watermark
+
+        return apply_watermark(images_u8)
 
     # Reference API parity (region_diffusion_sdxl.py:150-183). The other
     # "efficient"-variant memory tricks (accelerate CPU offload, meta
@@ -371,7 +386,7 @@ class RegionDiffusionXL(MeshDecodeMixin):
                          if ref_capture_steps is not None else None)
             if ref_slots and (
                 self._ref_qk_bytes_per_slot((h, w)) * len(ref_slots)
-                > getattr(self, "ref_precompute_max_bytes", 6e9)
+                > self.ref_precompute_max_bytes
             ):
                 # (Q,K) slots would not fit HBM alongside params — skip the
                 # capture entirely; the rich pass falls back to the in-batch
@@ -392,6 +407,14 @@ class RegionDiffusionXL(MeshDecodeMixin):
             if ref_slots is not None:
                 lat, self_sum, cross, cache = out
                 cache["steps"] = ref_slots
+                # validity metadata: a later rich call only trusts this
+                # cache if its guidance scale, resolution, initial latent
+                # and uncond/base prompt rows all match (ref_cache_matches)
+                cache["g"] = float(guidance_scale)
+                cache["hw"] = (h, w)
+                cache["fp"] = ref_fingerprint(
+                    latents, embeds[0], embeds[1], pooled[0], pooled[1],
+                    add_time_ids)
                 self.ref_cache = cache
             else:
                 lat, self_sum, cross = out
@@ -462,14 +485,10 @@ class RegionDiffusionXL(MeshDecodeMixin):
             ref_cache=ref_cache,
         )
 
-    def _ref_qk_bytes_per_slot(self, latent_hw):
-        """HBM bytes one refer-capture slot costs (all attn1 (Q,K) rows +
-        the inject-resnet feature), from abstract shapes only."""
-        cache = getattr(self, "_ref_bytes_cache", None)
-        if cache is None:
-            cache = self._ref_bytes_cache = {}
-        if latent_hw in cache:
-            return cache[latent_hw]
+    def _ref_capture_aux_shapes(self, latent_hw):
+        """Abstract aux shapes of one refer-capture UNet row (all attn1
+        (Q,K) + the inject-resnet feature) — feeds the shared
+        ``_ref_qk_bytes_per_slot`` HBM guard (pipelines/base.py)."""
         h, w = latent_hw
         spec = CaptureSpec(qk=True, resnet=frozenset({INJECT_RESNET_NAME}))
         pstruct = jax.tree.map(
@@ -486,18 +505,11 @@ class RegionDiffusionXL(MeshDecodeMixin):
             "text_embeds": jax.ShapeDtypeStruct((1, pool_dim), dt),
             "time_ids": jax.ShapeDtypeStruct((1, 6), jnp.float32),
         }
-        aux = jax.eval_shape(
+        return jax.eval_shape(
             lambda p, x, e, a: self.unet.apply(
                 p, x, jnp.int32(0), e, added_cond=a, capture=spec)[1],
             pstruct, x, e, added,
         )
-        n = sum(
-            int(np.prod(s.shape)) * s.dtype.itemsize
-            for s in jax.tree.leaves(
-                {"qk": aux["self_qk"], "res": aux["resnet_hidden"]})
-        )
-        cache[latent_hw] = n
-        return n
 
     # ------------------------------------------------------------ plain fn
     def _plain_fn(self, latent_hw, num_steps, seg_res, self_layers,
@@ -799,12 +811,16 @@ class RegionDiffusionXL(MeshDecodeMixin):
             gds = 1  # non-divisible shapes: fall back to the exact path
 
         if ref_cache is not None and run_reference:
-            # precomputed refer trajectory: valid only if the cache was
-            # captured at exactly this run's injection steps and step count
-            # (same seed/prompt/scheduler is the caller's contract)
+            # precomputed refer trajectory: trusted only if the cache was
+            # captured at exactly this run's injection steps/step count AND
+            # under the same guidance scale, resolution, initial latent and
+            # uncond/base prompt rows (content fingerprint) — otherwise
+            # fall back to the reference-shaped in-batch flow below
             want = tuple(np.nonzero(inject_gates)[0].tolist())
-            if (tuple(ref_cache.get("steps", ())) == want
-                    and ref_cache["traj"].shape[0] == S + 1):
+            fp = ref_fingerprint(latents, embeds[0], embeds[-1],
+                                 pooled[0], pooled[-1], time_ids)
+            if ref_cache_matches(ref_cache, want, S,
+                                 spec.guidance_scale, (h, w), fp):
                 fn = self._rich_fn_refpre(
                     (h, w), S, n_styles, use_grad, use_tw, stride > 1,
                     use_grad and spec.bf16_guidance, gds,

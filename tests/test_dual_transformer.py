@@ -104,3 +104,19 @@ def test_unet_dual_config_forward():
     eps, _ = model.apply(params, x, jnp.int32(3), e)
     assert eps.shape == (2, 8, 8, 4)
     assert np.isfinite(np.asarray(eps)).all()
+
+
+def test_degenerate_transformer_index_rejected():
+    """transformer_index must be a permutation of (0, 1): a degenerate
+    routing like (0, 0) would never initialize the other stream under flax
+    lazy init, so a real dual checkpoint could not be loaded (ADVICE r4)."""
+    bad = DualTransformer2D(
+        heads=2, dim=16, depth=1, kv_dim=32, use_linear_projection=False,
+        groups=8, condition_lengths=(L0, L1), transformer_index=(0, 0),
+        mix_ratio=0.5,
+    )
+    x = jnp.zeros((1, 4, 4, 16))
+    ctx = jnp.zeros((1, L0 + L1, 32))
+    with pytest.raises(ValueError, match="permutation"):
+        bad.init(jax.random.PRNGKey(0), x, ctx, UNetControls(),
+                 EMPTY_CAPTURE, None)

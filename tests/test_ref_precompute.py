@@ -160,6 +160,83 @@ def test_refpre_cache_step_mismatch_falls_back(pipe):
     np.testing.assert_array_equal(img, img_ref)
 
 
+def test_refpre_cache_guidance_mismatch_falls_back(pipe):
+    """A cache captured under a DIFFERENT guidance scale is rejected by the
+    validity guard (the trajectory depends on CFG weight) — the merged
+    in-batch path runs instead (same output). ADVICE r4 (medium): the old
+    guard checked only step indices, so direct API callers could silently
+    inject a wrong trajectory."""
+    px = _px(pipe)
+    lat = pipe.unet_cfg.sample_size
+    pipe.masks = [
+        np.full((1, lat, lat), 0.6, np.float32),
+        np.full((1, lat, lat), 0.4, np.float32),
+    ]
+    fmt = _fmt(pipe, use_tw=False)
+    prompts = ["red rose", "a garden with a red rose"]
+    kw = dict(
+        height=px, width=px, num_inference_steps=STEPS, guidance_scale=4.0,
+        run_rich_text=True, use_guidance=False,
+        inject_selfattn=0.4, inject_background=0.0,
+        text_format_dict=fmt, seed=2,
+    )
+    img_ref = pipe.sample(prompts, "", **kw)
+    # capture at the SAME injection window but a DIFFERENT guidance scale
+    steps = _inject_steps(pipe, STEPS, 0.4)
+    pipe.sample([prompts[-1]], "", height=px, width=px,
+                num_inference_steps=STEPS, guidance_scale=5.0,
+                run_rich_text=False, seed=2, ref_capture_steps=steps)
+    assert pipe.ref_cache is not None and pipe.ref_cache["g"] == 5.0
+    img = pipe.sample(prompts, "", ref_cache=pipe.ref_cache, **kw)
+    np.testing.assert_array_equal(img, img_ref)
+
+
+def test_refpre_cache_seed_mismatch_falls_back(pipe):
+    """A cache captured from a DIFFERENT initial latent (seed) is rejected
+    by the content fingerprint — the in-batch path runs instead."""
+    px = _px(pipe)
+    lat = pipe.unet_cfg.sample_size
+    pipe.masks = [
+        np.full((1, lat, lat), 0.6, np.float32),
+        np.full((1, lat, lat), 0.4, np.float32),
+    ]
+    fmt = _fmt(pipe, use_tw=False)
+    prompts = ["red rose", "a garden with a red rose"]
+    kw = dict(
+        height=px, width=px, num_inference_steps=STEPS, guidance_scale=5.0,
+        run_rich_text=True, use_guidance=False,
+        inject_selfattn=0.4, inject_background=0.0,
+        text_format_dict=fmt, seed=2,
+    )
+    img_ref = pipe.sample(prompts, "", **kw)
+    steps = _inject_steps(pipe, STEPS, 0.4)
+    pipe.sample([prompts[-1]], "", height=px, width=px,
+                num_inference_steps=STEPS, guidance_scale=5.0,
+                run_rich_text=False, seed=7, ref_capture_steps=steps)
+    assert pipe.ref_cache is not None
+    img = pipe.sample(prompts, "", ref_cache=pipe.ref_cache, **kw)
+    np.testing.assert_array_equal(img, img_ref)
+
+
+def test_sd_ref_capture_hbm_guard(sd_pipe):
+    """SD skips the refer capture when the (Q,K) slots would blow the HBM
+    budget (same guard as SDXL) — the rich pass then falls back to the
+    in-batch flow instead of OOMing. ADVICE r4 (low)."""
+    pipe = sd_pipe
+    h = pipe.unet_cfg.sample_size
+    px = h * pipe.vae_scale_factor
+    assert pipe._ref_qk_bytes_per_slot((h, h)) > 0
+    old = pipe.ref_precompute_max_bytes
+    pipe.ref_precompute_max_bytes = 1
+    try:
+        pipe.produce_attn_maps(["a cat"], [""], height=px, width=px,
+                               num_inference_steps=STEPS,
+                               ref_capture_steps=(0, 1))
+        assert pipe.ref_cache is None
+    finally:
+        pipe.ref_precompute_max_bytes = old
+
+
 @pytest.fixture(scope="module")
 def sd_pipe():
     from rich_text_to_image_tpu.pipelines.region_sd import RegionDiffusion
