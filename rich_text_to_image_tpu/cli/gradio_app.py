@@ -123,9 +123,11 @@ def run_generate(model, resolution, text_input, negative_prompt, seed, steps,
 
 def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
               random_weights: bool = False, model=None,
-              resolution: int | None = None):
+              resolution: int | None = None, mesh: str | None = None):
     """Construct the demo. ``model``/``resolution`` let tests (and embedders)
-    inject a pre-built pipeline / a non-default output size."""
+    inject a pre-built pipeline / a non-default output size; ``mesh`` takes
+    the CLI's --mesh grammar ('auto', 'N', 'dp,tp', 'dcn,dp,tp') to shard
+    the serving pipeline over a device mesh (parallel/mesh.py)."""
     try:
         import gradio as gr
     except ImportError as e:  # pragma: no cover
@@ -146,7 +148,12 @@ def build_app(model_kind: str = "SD", checkpoint_dir: str | None = None,
         _Args.model = model_kind
         _Args.checkpoint_dir = checkpoint_dir
         _Args.random_weights = random_weights
+        _Args.mesh = mesh
         model = build_model(_Args())
+    elif mesh:
+        from ..parallel.mesh import apply_mesh_arg
+
+        apply_mesh_arg(model, mesh)
     d = APP_DEFAULTS[model_kind]
     default_res = resolution or d["resolution"]
 
@@ -243,8 +250,11 @@ def main():  # pragma: no cover
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--random_weights", action="store_true")
     p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--mesh", default=None,
+                   help="shard the serving pipeline over a device mesh "
+                        "('auto', 'N', 'dp,tp', or 'dcn,dp,tp')")
     a = p.parse_args()
-    app = build_app(a.model, a.checkpoint_dir, a.random_weights)
+    app = build_app(a.model, a.checkpoint_dir, a.random_weights, mesh=a.mesh)
     app.queue(max_size=4).launch(server_port=a.port)
 
 

@@ -37,6 +37,17 @@ def _make_scheduler(name):
     }[name]()
 
 
+def _place_on_mesh(model, args):
+    """Honor --mesh: shard the pipeline over a (dp,tp) device mesh.
+
+    The reference is strictly single-GPU; this is the TPU framework's
+    introduced scale-out surface (SURVEY §2: benchmark work items and the
+    rich pass's batched UNet rows are embarrassingly dp-parallel)."""
+    from ..parallel.mesh import apply_mesh_arg
+
+    return apply_mesh_arg(model, getattr(args, "mesh", None))
+
+
 def build_model(args):
     sched = _make_scheduler(getattr(args, "scheduler", None))
     if args.model in ("SD",):
@@ -51,7 +62,7 @@ def build_model(args):
         if model is not None:
             if sched is not None:
                 model.scheduler = sched
-            return model
+            return _place_on_mesh(model, args)
         raise SystemExit(
             "no weights: pass --checkpoint_dir <local SD-1.5 dir> "
             "or --random_weights"
@@ -73,7 +84,7 @@ def build_model(args):
         if model is not None:
             if sched is not None:
                 model.scheduler = sched
-            return model
+            return _place_on_mesh(model, args)
         raise SystemExit(
             "no weights: pass --checkpoint_dir <local SDXL dir> "
             "or --random_weights"
@@ -265,6 +276,14 @@ def make_parser():
         help="rich-pass turbo: recompute the UNet encoder only every Nth "
              "step and reuse cached down-path features between (Faster "
              "Diffusion, arXiv 2312.09608). 1 = off (exact reference math)",
+    )
+    parser.add_argument(
+        "--mesh", type=str, default=None,
+        help="shard the pipeline over a device mesh: 'auto' (all chips), "
+             "'N' (first N chips), 'dp,tp' (e.g. '2,4'), or 'dcn,dp,tp' "
+             "for multi-host. Params shard over tp, batched UNet rows "
+             "over dp (parallel/mesh.py rules). Default: single device, "
+             "the reference's execution model",
     )
     parser.add_argument(
         "--encoder_schedule", choices=["early", "uniform"], default="early",

@@ -62,6 +62,12 @@ def make_parser():
     p.add_argument("--bf16_guidance", action="store_true",
                    help="bfloat16 color-guidance VAE gradient (~3x cheaper; "
                         "fp32-range). Default keeps the reference's fp32")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="shard the suite over a device mesh ('auto', 'N', "
+                        "'dp,tp', or 'dcn,dp,tp'): params over tp, the "
+                        "--batch_colors item axis over dp — the work items "
+                        "are embarrassingly parallel (SURVEY §2). Default: "
+                        "single device")
     return p
 
 
@@ -75,6 +81,10 @@ def run(args, model=None):
             model = RegionDiffusion.from_pretrained(args.checkpoint_dir)
         else:
             model = RegionDiffusion.random_init(seed=0)
+    if getattr(args, "mesh", None):
+        from ..parallel.mesh import apply_mesh_arg
+
+        apply_mesh_arg(model, args.mesh)
 
     p2p = None
     if args.with_p2p:

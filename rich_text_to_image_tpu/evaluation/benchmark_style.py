@@ -46,6 +46,11 @@ def make_parser():
                    help="TPU batch-DP: run N style pairs per (seed,scene) "
                         "in ONE scan (RegionDiffusion.style_bench_batch). "
                         "1 = the reference's sequential loop")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="shard the suite over a device mesh ('auto', 'N', "
+                        "'dp,tp', or 'dcn,dp,tp'): params over tp, the "
+                        "--batch_pairs item axis over dp. Default: single "
+                        "device")
     return p
 
 
@@ -81,6 +86,10 @@ def run(args, model=None, scorer=None):
             model = RegionDiffusion.from_pretrained(args.checkpoint_dir)
         else:
             model = RegionDiffusion.random_init(seed=0)
+    if getattr(args, "mesh", None):
+        from ..parallel.mesh import apply_mesh_arg
+
+        apply_mesh_arg(model, args.mesh)
     scorer, scorer_is_random = _resolve_scorer(args, model, scorer)
 
     p2p = None

@@ -44,6 +44,14 @@ def make_mesh(n_devices: int | None = None, axis_names=("dp", "tp"),
     """
     devices = jax.devices()[: n_devices or len(jax.devices())]
     n = len(devices)
+    if n_devices and n < n_devices:
+        raise ValueError(
+            f"mesh wants {n_devices} devices but only {n} visible "
+            f"({jax.default_backend()}); for CPU simulation set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices}"
+        )
+    if tp is not None and n % tp:
+        raise ValueError(f"tp={tp} does not divide device count {n}")
     if tp is None:
         tp = 1
         for cand in (4, 2):
@@ -63,6 +71,49 @@ def make_mesh(n_devices: int | None = None, axis_names=("dp", "tp"),
     dp = n // tp
     arr = mesh_utils.create_device_mesh((dp, tp), devices=devices)
     return Mesh(arr, axis_names)
+
+
+def mesh_from_spec(spec: str | None) -> Mesh | None:
+    """Parse the user-facing ``--mesh`` flag into a :class:`Mesh`.
+
+    Grammar (axis sizes, innermost last — matching :func:`make_mesh`):
+
+    * ``"auto"`` — all visible devices, tp picked by :func:`make_mesh`;
+    * ``"N"`` — first N devices, tp picked automatically;
+    * ``"dp,tp"`` — e.g. ``"2,4"`` = 2-way batch DP × 4-way tensor parallel;
+    * ``"dcn,dp,tp"`` — adds the outermost multi-host data axis.
+
+    ``x`` is accepted as a separator too (``"2x4"``). Empty/None → no mesh
+    (single-device, the reference's execution model). This is the single
+    entry point the CLI sampler and both benchmark drivers share, so the
+    product's mesh surface stays one grammar.
+    """
+    if not spec:
+        return None
+    if str(spec).strip().lower() == "auto":
+        return make_mesh()
+    parts = [int(x) for x in str(spec).replace("x", ",").split(",")]
+    if any(p < 1 for p in parts):
+        raise ValueError(f"--mesh axis sizes must be >= 1: {spec!r}")
+    if len(parts) == 1:
+        return make_mesh(parts[0])
+    if len(parts) == 2:
+        dp, tp = parts
+        return make_mesh(dp * tp, tp=tp)
+    if len(parts) == 3:
+        dcn, dp, tp = parts
+        return make_mesh(dcn * dp * tp, tp=tp, dcn=dcn)
+    raise ValueError(f"--mesh wants 'auto', N, dp,tp or dcn,dp,tp: {spec!r}")
+
+
+def apply_mesh_arg(model, spec: str | None):
+    """Place ``model`` on the mesh described by a ``--mesh`` flag value.
+
+    No-op for empty specs so drivers can call it unconditionally."""
+    mesh = mesh_from_spec(spec)
+    if mesh is not None:
+        model.use_mesh(mesh)
+    return model
 
 
 def param_spec(path_leaf_shape, mesh: Mesh, tp_axis: str = "tp"):

@@ -54,7 +54,8 @@ def _make_stub():
         return make
 
     for kind in ("Blocks", "HTML", "Textbox", "Slider", "Button", "Image",
-                 "Row", "Examples", "Accordion", "JSON", "Markdown"):
+                 "Row", "Examples", "Accordion", "JSON", "Markdown",
+                 "Checkbox"):
         setattr(gr, kind, _factory(kind))
 
     class Error(Exception):
@@ -125,7 +126,8 @@ def test_build_app_constructs_and_wires(stub_gradio, tiny_model):
     gen = next(b for b in _components(gr, "Button") if b.args == ("Generate",))
     assert gen.clicks and gen.clicks[0]["js"] == GET_JS_DATA
     # the 10 reference knobs + turbo (encoder reuse) + guidance downsample
-    assert len(gen.clicks[0]["inputs"]) == 12
+    # + the refer-precompute opt-out checkbox (round-5 advisor fix)
+    assert len(gen.clicks[0]["inputs"]) == 13
 
 
 def test_build_app_sdxl_threshold_delta(stub_gradio):
