@@ -80,6 +80,57 @@ def _full_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+def _full_kernel_t(q_ref, k_ref, vt_ref, ot_ref, *, kv_len: int):
+    """Transposed full-row kernel: all products computed in K-major layout.
+
+    Motivation (the D=40 lane-padding harvest, ARCHITECTURE.md round-5
+    section): with head dim d < 128 the classic layout pads BOTH matmuls to
+    128 lanes — QK contracts over d (pad 40→128) and PV's output dim is d
+    (pad 40→128) — so each executes 128/d× the useful MACs. The PV pad is
+    avoidable: compute the TRANSPOSED product
+
+        sT  = K @ Q^T            [Skv, blk_q]   (contraction d — still padded,
+                                                 inherent: exact attention
+                                                 must contract Q·K over d)
+        oT  = V^T @ pT           [dt,  blk_q]   (contraction Skv — FULL lanes;
+                                                 dt = d rounded to the sublane
+                                                 tile, 40→48 bf16, streamed as
+                                                 dt MXU rows: no 128-pad)
+
+    Hardware MACs per tile drop from blk_q·Skv·(128+128) to
+    blk_q·Skv·(128+dt): effective ceiling for d=40 rises 61.5 → 89.5 TF/s
+    (197·2d/(128+dt)); d=64 (SDXL) 98.5 → 131. Softmax reduces over the
+    SUBLANE axis (rows of sT) — same element traffic as the lane reduction.
+    V arrives pre-transposed ([dt, Skv] — sublanes dt, lanes Skv: no lane
+    pad at all) so the kernel's second dot is a clean [dt,Skv]@[Skv,blk_q];
+    the output transpose back to [S, d] is one cheap HBM pass outside.
+    Measured on-chip vs the classic kernel: scripts/bench_lane_padding.py →
+    artifacts/round5_perf/lane_padding.jsonl.
+    """
+    q = q_ref[0]   # (BQ, Dp) storage dtype, pre-scaled by scale*log2(e)
+    k = k_ref[0]   # (Sp, Dp)
+    vt = vt_ref[0]  # (dt, Sp) pre-transposed V
+    st = jax.lax.dot_general(
+        k,
+        q,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (Sp, BQ) fp32, log2-scaled logits, kv index in SUBLANES
+    if k.shape[0] != kv_len:
+        row = jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+        st = jnp.where(row < kv_len, st, _NEG_INF)
+    m = jnp.max(st, axis=0, keepdims=True)   # (1, BQ)
+    p = jnp.exp2(st - m)
+    l = jnp.sum(p, axis=0, keepdims=True)    # (1, BQ)
+    acc = jax.lax.dot_general(
+        vt,
+        p.astype(q.dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (dt, BQ) fp32 — contraction over Skv: full MXU lanes
+    ot_ref[0] = (acc / l).astype(ot_ref.dtype)
+
+
 # VMEM working-set cap for the full-row path: K+V (bf16) + per-row buffers
 # per instance, with headroom for double-buffered q/out tiles. 14 of the
 # ~16 MB/core: with the honest row budget below (s fp32 + p fp32 + cast
@@ -316,7 +367,8 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "scale", "block_q", "block_k", "interpret", "_fullrow"))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -325,6 +377,7 @@ def flash_attention(
     block_q: int | None = None,
     block_k: int = 512,
     interpret: bool = False,
+    _fullrow: str | None = None,
 ) -> jnp.ndarray:
     """Pallas flash attention. q: [B,H,Sq,D]; k,v: [B,H,Skv,D].
 
@@ -344,16 +397,25 @@ def flash_attention(
     (each (b, h, q-row) is independent given full K/V), KV-seq and head-dim
     are replicated — so GSPMD/Shardy partitions the kernel across the mesh
     instead of all-gathering around an opaque custom call.
+
+    ``_fullrow`` is a bench/debug knob selecting the full-row kernel layout:
+    ``None`` (auto — the measured shape-dispatch below), ``"classic"`` or
+    ``"transposed"`` (force ``_full_kernel_t``, the D<128 lane-padding
+    variant) so A/B microbenches and parity tests can pin either layout at
+    any shape (scripts/bench_lane_padding.py). Production callers never
+    pass it.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if jax.device_count() > 1:
         return _flash_cp(float(scale), block_q, block_k, bool(interpret))(
             q, k, v)
-    return _flash_impl(q, k, v, float(scale), block_q, block_k, interpret)
+    return _flash_impl(q, k, v, float(scale), block_q, block_k, interpret,
+                       _fullrow)
 
 
-def _flash_impl(q, k, v, scale: float, block_q, block_k, interpret):
+def _flash_impl(q, k, v, scale: float, block_q, block_k, interpret,
+                fullrow: str | None = None):
     b, h, sq, d = q.shape
     skv = k.shape[2]
 
@@ -361,6 +423,65 @@ def _flash_impl(q, k, v, scale: float, block_q, block_k, interpret):
     itemsize = jnp.dtype(q.dtype).itemsize
 
     full_blk_q = _full_path_layout(sq, _round_up(skv, 128), dp, itemsize)
+    # Measured shape-dispatch (artifacts/round5_perf/lane_padding.jsonl,
+    # real-chip A/B at every production shape): the transposed kernel wins
+    # ONLY in the d=80, S≤1024 bucket (SD-1.5's 32²-res self-attention:
+    # +30% at B=2, +3% at B=4). Everywhere else the kernel is not
+    # MXU-lane-bound — softmax VPU passes and VMEM traffic dominate — so
+    # skipping the PV lane pad buys nothing and the extra relayouts lose
+    # (full numbers + the ceiling argument: docs/ARCHITECTURE.md
+    # §"round 5: the D=40 lane-padding bound").
+    use_t = fullrow == "transposed" or (
+        fullrow is None and d == 80 and skv <= 1024)
+    if (block_q is None and full_blk_q is not None and d != dp and use_t):
+        # Transposed full-row path: head dim needs lane padding (d < dp), so
+        # the PV product is computed K-major to skip its 128-lane pad
+        # entirely (see _full_kernel_t). Entry condition shares
+        # _full_path_layout with the classic path: the row buffers (sT/pT)
+        # are the same sizes transposed, and K+VT is strictly smaller than
+        # the classic K+V.
+        blk_q = full_blk_q
+        sq_p = _round_up(sq, blk_q)
+        skv_p = _round_up(skv, 128)
+        dt = _round_up(d, 16 if itemsize == 2 else 8)
+        qs = q * jnp.asarray(scale * _LOG2E, q.dtype)
+        qp = _pad_axis(_pad_last(qs, dp), 2, sq_p).reshape(b * h, sq_p, dp)
+        kp = _pad_axis(_pad_last(k, dp), 2, skv_p).reshape(b * h, skv_p, dp)
+        vtp = _pad_axis(
+            _pad_axis(v, 3, dt), 2, skv_p
+        ).reshape(b * h, skv_p, dt).transpose(0, 2, 1)  # [b*h, dt, skv_p]
+        ot = pl.pallas_call(
+            functools.partial(_full_kernel_t, kv_len=skv),
+            grid=(b * h, sq_p // blk_q),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, blk_q, dp), lambda i, j: (i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, skv_p, dp), lambda i, j: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, dt, skv_p), lambda i, j: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, dt, blk_q), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * h, dt, sq_p), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * h * sq * skv * d,
+                bytes_accessed=(b * h)
+                * (sq_p * dp + skv_p * dp + skv_p * dt) * itemsize,
+                transcendentals=b * h * sq * skv,
+            ),
+            interpret=interpret,
+        )(qp, kp, vtp)
+        return ot.transpose(0, 2, 1).reshape(b, h, sq_p, dt)[:, :, :sq, :d]
+
     if block_q is None and full_blk_q is not None:
         # Full-row softmax path: KV resident, exp2 with log2(e) in the scale.
         blk_q = full_blk_q

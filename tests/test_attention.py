@@ -75,11 +75,19 @@ def test_flash_injection_equivalence():
         (1, 1, 300, 300, 64),  # unaligned seq → padded-KV mask path
         (1, 2, 256, 77, 64),  # cross-attn shaped
         (1, 1, 64, 512, 160),  # D > 128
+        (1, 2, 256, 256, 128),  # lane-aligned D → classic (untransposed) path
+        (2, 2, 1024, 1024, 80),  # the auto-dispatch transposed-kernel bucket
     ],
 )
-def test_fullrow_path_matches_oracle(b, h, sq, skv, d):
+@pytest.mark.parametrize("fullrow", [None, "transposed"])
+def test_fullrow_path_matches_oracle(b, h, sq, skv, d, fullrow):
     """block_q=None routes through the full-row softmax kernel at these
-    VMEM-resident sizes; verify against the same oracle."""
+    VMEM-resident sizes; verify against the same oracle. fullrow=None is
+    the production auto-dispatch (classic everywhere except the measured
+    d=80/S≤1024 win bucket); "transposed" forces the K-major lane-padding
+    kernel at every D<128 shape so its masking/pad paths stay covered."""
+    if fullrow == "transposed" and d % 128 == 0:
+        pytest.skip("transposed kernel only exists for lane-padded D")
     rng = np.random.RandomState(7)
     q = rng.randn(b, h, sq, d).astype(np.float32)
     k = rng.randn(b, h, skv, d).astype(np.float32)
@@ -88,9 +96,33 @@ def test_fullrow_path_matches_oracle(b, h, sq, skv, d):
     got = np.asarray(
         flash_attention(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True,
+            _fullrow=fullrow,
         )
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("d", [40, 64])
+def test_fullrow_transposed_bf16(d):
+    """The transposed full-row kernel in bf16: V's sublane dim pads to the
+    16-row bf16 tile (40→48), the riskiest layout in the D<128 lane-padding
+    harvest. Parity vs a bf16-input fp32-softmax oracle at bf16 tolerance,
+    and explicit coverage of the padded-KV row mask (skv=300)."""
+    rng = np.random.RandomState(11)
+    b, h, sq, skv = 2, 2, 128, 300
+    q = rng.randn(b, h, sq, d).astype(np.float32)
+    k = rng.randn(b, h, skv, d).astype(np.float32)
+    v = rng.randn(b, h, skv, d).astype(np.float32)
+    qb = jnp.asarray(q, jnp.bfloat16)
+    kb = jnp.asarray(k, jnp.bfloat16)
+    vb = jnp.asarray(v, jnp.bfloat16)
+    want, _ = _oracle(
+        np.asarray(qb, np.float32), np.asarray(kb, np.float32),
+        np.asarray(vb, np.float32))
+    got = np.asarray(
+        flash_attention(qb, kb, vb, interpret=True, _fullrow="transposed"),
+        np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
 
 
 @pytest.mark.parametrize("b,h,sq,skv,d", [
