@@ -318,7 +318,15 @@ def main():
             traceback.print_exc()
             FAILED.append(kind)
             records.append(_emit(metric, kind, (0.0, None), None))
-    update_readme(records)
+    # Regenerate the README table only from real measurements: a relay
+    # outage / failed run must not clobber the last published numbers with
+    # 0.0 rows (the 0.0 record still goes to stdout for BENCH_r*.json).
+    good = [r for r in records if r and r.get("value", 0.0) > 0.0]
+    if len(good) == len(records):
+        update_readme(good)
+    else:
+        print("[bench] skipping README regen (failed runs present)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

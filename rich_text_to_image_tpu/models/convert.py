@@ -282,6 +282,12 @@ def apply_lora_unet(unet_params, lora_sd: Mapping[str, np.ndarray],
         up_k = f"{mod}.processor.{_LORA_PROJ[proj]}.up.weight"
         if down_k not in lora_sd and up_k not in lora_sd:
             continue
+        if down_k not in lora_sd or up_k not in lora_sd:
+            raise ValueError(
+                f"LoRA: half-present pair at {mod}.processor."
+                f"{_LORA_PROJ[proj]} (have "
+                f"{'down' if down_k in lora_sd else 'up'} only — "
+                "truncated/corrupt checkpoint?)")
         down = lora_sd[down_k]  # [r, in]  (torch [out,in] convention)
         up = lora_sd[up_k]      # [out, r]
         used.update((down_k, up_k))
@@ -337,6 +343,11 @@ def apply_lora_text(text_params, lora_sd: Mapping[str, np.ndarray],
         for infix in ("lora_linear_layer", "lora"):
             dk, uk = (f"{mod}.{infix}.down.weight", f"{mod}.{infix}.up.weight")
             if dk in lora_sd or uk in lora_sd:
+                if dk not in lora_sd or uk not in lora_sd:
+                    raise ValueError(
+                        f"text LoRA: half-present pair at {mod}.{infix} "
+                        f"(have {'down' if dk in lora_sd else 'up'} only — "
+                        "truncated/corrupt checkpoint?)")
                 down, up = lora_sd[dk], lora_sd[uk]
                 used.update((dk, uk))
                 break

@@ -408,8 +408,8 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if jax.device_count() > 1:
-        return _flash_cp(float(scale), block_q, block_k, bool(interpret))(
-            q, k, v)
+        return _flash_cp(float(scale), block_q, block_k, bool(interpret),
+                         _fullrow)(q, k, v)
     return _flash_impl(q, k, v, float(scale), block_q, block_k, interpret,
                        _fullrow)
 
@@ -584,12 +584,14 @@ def _keep_dims_spec(spec, rank: int, keep: frozenset) -> P:
 
 
 @functools.lru_cache(maxsize=None)
-def _flash_cp(scale: float, block_q, block_k, interpret: bool):
+def _flash_cp(scale: float, block_q, block_k, interpret: bool,
+              fullrow: str | None = None):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding
 
     def fn(q, k, v):
-        return _flash_impl(q, k, v, scale, block_q, block_k, interpret)
+        return _flash_impl(q, k, v, scale, block_q, block_k, interpret,
+                           fullrow)
 
     fcp = custom_partitioning(fn)
     keep = frozenset({0, 1, 2})  # b, h, sq shardable; d replicated

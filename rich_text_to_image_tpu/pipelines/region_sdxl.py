@@ -274,9 +274,9 @@ class RegionDiffusionXL(MeshDecodeMixin):
         the reference (region_diffusion_sdxl.py:127,:943 —
         StableDiffusionXLWatermarker on the decoded batch). Images narrower
         than 256 px pass through (the reference encoder's own gate).
-        ``self.watermark = None`` opts out (the reference has no opt-out;
-        exposed for eval pipelines comparing raw pixels)."""
-        if getattr(self, "watermark", True) is None:
+        Any falsy ``self.watermark`` (None/False) opts out (the reference
+        has no opt-out; exposed for eval pipelines comparing raw pixels)."""
+        if not getattr(self, "watermark", True):
             return images_u8
         from ..utils.watermark import apply_watermark
 

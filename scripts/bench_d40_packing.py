@@ -85,12 +85,17 @@ def main():
     recs.append({"variant": "padded_d128", "ms": round(dt * 1e3, 3),
                  "useful_tflops_s": round(useful_tf / dt, 1)})
 
-    # (c) block-diagonal p=3 packing: 120 live lanes of 128
+    # (c) block-diagonal p=3 packing: 120 live lanes of 128. B*H=16 is not
+    # divisible by 3, so the packed measurement runs on the first g*p=15
+    # heads (per-head throughput is what's compared, so trimming one head
+    # just scales the useful-FLOP numerator to match).
     p = 3
-    g = B * H // p  # packed groups
-    q3 = q.reshape(g, p, S, D).transpose(0, 2, 1, 3).reshape(g, S, p * D)
+    g = B * H // p  # packed groups (heads beyond g*p trimmed)
+    useful_tf_p = 2 * g * p * S * S * D / 1e12
+    q3 = q[:g * p].reshape(g, p, S, D).transpose(0, 2, 1, 3) \
+                  .reshape(g, S, p * D)
     # K_blk [g, pD, pS]: head h occupies rows hD:(h+1)D, cols hS:(h+1)S
-    kt = k.reshape(g, p, S, D).transpose(0, 1, 3, 2)  # [g, p, D, S]
+    kt = k[:g * p].reshape(g, p, S, D).transpose(0, 1, 3, 2)  # [g, p, D, S]
     kblk = jnp.zeros((g, p * D, p * S), jnp.bfloat16)
     for h in range(p):
         kblk = kblk.at[:, h * D:(h + 1) * D, h * S:(h + 1) * S].set(kt[:, h])
@@ -98,7 +103,7 @@ def main():
         "gsd,gdt->gst", a, b, preferred_element_type=jnp.float32))
     dt = _time(f_blk, q3, kblk)
     recs.append({"variant": "blockdiag_p3_d120", "ms": round(dt * 1e3, 3),
-                 "useful_tflops_s": round(useful_tf / dt, 1)})
+                 "useful_tflops_s": round(useful_tf_p / dt, 1)})
 
     # (d) the upper reference point: a D=128 problem of the same useful
     # FLOPs run as a dense matmul (what SD would get if its head dim were

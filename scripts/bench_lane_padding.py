@@ -48,6 +48,8 @@ ATTN_SHAPES = [
     (2, 8, 256, 160),
     # ... SD rich pass [uncond, base, 2 spans] ...
     (4, 8, 4096, 40),
+    (4, 8, 1024, 80),   # rich-pass shape of the transposed-kernel win bucket
+    (2, 8, 2048, 80),   # d=80 just past the S≤1024 dispatch boundary
     # ... SDXL 1024² levels, plain + rich
     (2, 10, 4096, 64),
     (2, 20, 1024, 64),

@@ -5,22 +5,19 @@ Two surfaces the environment can't execute for real are pinned structurally:
 1. ``run_generate`` — the demo's request contract as a pure function
    (rich-text JSON string → [plain, rich, seg PNG, token-map PNG]), driven
    end-to-end on a tiny pipeline, including the gr.Error-equivalent paths.
-2. ``cli/editor.html`` — DOM assertions on the Quill page, at two levels:
-   regex pins plus a real parsed DOM tree (html.parser: well-formedness,
-   unique ids, toolbar <select> structure, script-element contract —
-   VERDICT r4 #8; no gradio wheel or JS runtime exists in this image):
-   the ``document.body._data`` publication contract (reference
+2. ``cli/editor.html`` — regex pins on the Quill page's JS contract:
+   the ``document.body._data`` publication (reference
    utils/rich-text-to-json-iframe.html:306-311), the 9-entry font whitelist
    (must stay in lockstep with utils/richtext.FONT2STYLE), the size
    whitelist, and the offline fallback textarea that publishes the same
-   contract. These catch a broken ``_data`` contract or a dropped font
-   entry without a DOM.
+   contract. The parsed-DOM structure checks (element tree, id uniqueness,
+   toolbar <select> order — VERDICT r4 #8) live in tests/test_editor_dom.py,
+   which owns the shared html.parser DOM builder.
 """
 
 import json
 import os
 import re
-from html.parser import HTMLParser
 
 import numpy as np
 import pytest
@@ -166,110 +163,3 @@ def test_editor_toolbar_controls(editor_html):
         assert needle in editor_html, needle
 
 
-# ------------------------------------------------- editor.html as a DOM tree
-# VERDICT r4 #8: no gradio wheel and no JS runtime exist in this image, so
-# real-browser execution stays out of reach — these upgrade the regex pins
-# to assertions over an actual parsed DOM tree (html.parser), checking
-# well-formedness and element structure, not just substring presence.
-
-class _Node:
-    def __init__(self, tag, attrs, parent):
-        self.tag = tag
-        self.attrs = dict(attrs)
-        self.parent = parent
-        self.children = []
-        self.text = ""
-
-
-_VOID = {"meta", "link", "br", "hr", "img", "input"}
-
-
-class _DomBuilder(HTMLParser):
-    def __init__(self):
-        super().__init__(convert_charrefs=True)
-        self.root = _Node("#root", {}, None)
-        self.cur = self.root
-        self.errors = []
-
-    def handle_starttag(self, tag, attrs):
-        node = _Node(tag, attrs, self.cur)
-        self.cur.children.append(node)
-        if tag not in _VOID:
-            self.cur = node
-
-    def handle_startendtag(self, tag, attrs):
-        self.cur.children.append(_Node(tag, attrs, self.cur))
-
-    def handle_endtag(self, tag):
-        if tag in _VOID:
-            return
-        if self.cur.tag != tag:
-            self.errors.append(
-                f"mismatched </{tag}> inside <{self.cur.tag}>")
-            return
-        self.cur = self.cur.parent
-
-    def handle_data(self, data):
-        self.cur.text += data
-
-
-def _walk(node):
-    yield node
-    for c in node.children:
-        yield from _walk(c)
-
-
-@pytest.fixture(scope="module")
-def editor_dom(editor_html):
-    b = _DomBuilder()
-    b.feed(editor_html)
-    b.close()
-    assert not b.errors, b.errors
-    assert b.cur is b.root, f"unclosed <{b.cur.tag}> at EOF"
-    return b.root
-
-
-def test_editor_dom_well_formed_and_ids_unique(editor_dom):
-    ids = [n.attrs["id"] for n in _walk(editor_dom) if "id" in n.attrs]
-    assert len(ids) == len(set(ids)), ids
-    for required in ("toolbar", "editor", "fallback", "fallback-json"):
-        assert required in ids, f"#{required} missing"
-
-
-def test_editor_dom_toolbar_structure(editor_dom):
-    """The toolbar's font/size <select>s carry exactly the whitelists, as
-    real <option> elements in order (not just substrings somewhere)."""
-    toolbar = next(n for n in _walk(editor_dom)
-                   if n.attrs.get("id") == "toolbar")
-    selects = {s.attrs.get("class"): s for s in _walk(toolbar)
-               if s.tag == "select"}
-    fonts = [o.attrs.get("value") for o in selects["ql-font"].children
-             if o.tag == "option" and o.attrs.get("value")]
-    assert fonts == list(FONT2STYLE.keys())
-    sizes = [o.attrs.get("value") for o in selects["ql-size"].children
-             if o.tag == "option" and o.attrs.get("value")]
-    assert sizes == ["18px", "32px", "50px", "64px"]
-    # strike / link / color / background controls exist as real elements
-    classes = " ".join(n.attrs.get("class", "") for n in _walk(toolbar))
-    for c in ("ql-strike", "ql-link", "ql-color"):
-        assert c in classes, c
-
-
-def test_editor_dom_script_contract(editor_dom):
-    """The inline script (a real <script> element's text) wires BOTH
-    branches of the _data publication contract and registers the
-    whitelists with Quill."""
-    scripts = [n.text for n in _walk(editor_dom)
-               if n.tag == "script" and n.text.strip()]
-    js = "\n".join(scripts)
-    assert js.count("document.body._data") >= 2
-    assert "JSON.stringify(quill.getContents())" in js
-    assert "typeof Quill === 'undefined'" in js
-    assert "JSON.parse(ta.value)" in js
-    assert re.search(r"Font\.whitelist\s*=", js)
-    assert re.search(r"Size\.whitelist\s*=", js)
-    # fallback textarea exists inside the fallback container
-    fallback = next(n for n in _walk(editor_dom)
-                    if n.attrs.get("id") == "fallback")
-    assert any(n.tag == "textarea" and n.attrs.get("id") == "fallback-json"
-               for n in _walk(fallback))

@@ -108,6 +108,13 @@ def test_document_shape(dom):
     assert tags == ["head", "body"]
 
 
+def test_ids_unique_and_required_present(dom):
+    ids = [n.attrs["id"] for n in dom.walk() if "id" in n.attrs]
+    assert len(ids) == len(set(ids)), ids
+    for required in ("toolbar", "editor", "fallback", "fallback-json"):
+        assert required in ids, f"#{required} missing"
+
+
 def test_toolbar_structure(dom):
     toolbar = dom.by_id("toolbar")
     assert toolbar is not None and toolbar.tag == "div"

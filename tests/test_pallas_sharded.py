@@ -59,6 +59,41 @@ def test_flash_partitions_over_batch_and_heads():
     assert tuple(out.sharding.spec)[:2] == ("dp", "tp")
 
 
+@pytest.mark.parametrize("fullrow", ["classic", "transposed"])
+def test_flash_fullrow_force_survives_mesh_dispatch(fullrow, monkeypatch):
+    """The _fullrow bench knob must reach the kernel through the
+    custom_partitioning wrapper (device_count > 1) — otherwise forced A/B
+    runs on multi-chip hosts silently measure the auto dispatch twice.
+    Both layouts are numerically identical, so this pins the knob itself:
+    _flash_impl must SEE the forced value (recorded via monkeypatch), and
+    the result must still match the XLA reference."""
+    from rich_text_to_image_tpu.ops import attention as attn_mod
+
+    seen = []
+    real_impl = attn_mod._flash_impl
+
+    def recording_impl(q, k, v, scale, block_q, block_k, interpret,
+                       fullrow_arg=None):
+        seen.append(fullrow_arg)
+        return real_impl(q, k, v, scale, block_q, block_k, interpret,
+                         fullrow_arg)
+
+    monkeypatch.setattr(attn_mod, "_flash_impl", recording_impl)
+    attn_mod._flash_cp.cache_clear()  # cached closures hold _flash_impl refs
+
+    mesh = make_mesh(8, tp=2)
+    q, k, v = _qkv(d=40)  # lane-padded head dim, both layouts valid
+    sh = NamedSharding(mesh, P("dp", "tp"))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    out = jax.jit(lambda a, b, c: flash_attention(
+        a, b, c, interpret=True, _fullrow=fullrow))(qs, ks, vs)
+    ref, _ = attention_with_probs(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    assert seen and all(f == fullrow for f in seen), seen
+    attn_mod._flash_cp.cache_clear()  # drop entries built on the recorder
+
+
 def test_flash_qseq_sharding_flows_through():
     mesh = make_mesh(8, tp=2)
     q, k, v = _qkv(b=2, h=2)
